@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.fixtures.FixtureCorpus
+import graft.queries.{KgQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.stages.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `entry` is the flagship KG pipeline over the bundled fixture corpus;
+  * `queries` covers the operator inventory (SURVEY.md §2) plus the
+  * training-data-pipeline operators (dedup / similarity / text analysis)
+  * over the driver's testdata tables; `oracleSql` carries the DuckDB
+  * equivalent for every SQL-expressible query (same column names, both
+  * sides ordered).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full KG-construction pipeline (slice -> extract -> triple
+    * emit -> entity link -> canonicalize) on a small replicated fixture
+    * corpus. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val files = FixtureCorpus.corpus(spark, 50, 8)
+    val (triples, _) = Pipeline.run(spark, files)
+    triples.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ KgQueries.all
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle
 }

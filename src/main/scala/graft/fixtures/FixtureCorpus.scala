@@ -1,0 +1,95 @@
+package graft.fixtures
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import graft.model.SourceFile
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic fixture corpus (FIXTURES.md §2/§6): the journal fixture
+  * pages grafted onto the (repo, path, commit, lang, content) source
+  * table, replicated at scale with one deliberately hot repo (~30% of
+  * rows) to exercise skew handling. No wall-clock, no RNG — commit ids
+  * are content-addressed hashes, replication keys are index-derived.
+  */
+object FixtureCorpus {
+
+  final case class Fixture(id: String, lang: String, resource: String)
+
+  val fixtures: Seq[Fixture] = Seq(
+    Fixture("10.1103/pyzr-jmvw", "aps-md", "/graft/fixtures/aps_raw_pyzr-jmvw.md"),
+    Fixture("10.1103/9pbp-jzr9", "aps-md", "/graft/fixtures/aps_raw_9pbp-jzr9.md"),
+    Fixture("10.1103/7x71-8j7k", "aps-md", "/graft/fixtures/aps_sliced_7x71-8j7k.md"),
+    Fixture("https://www.nature.com/articles/s41567-025-02944-3", "nature-html",
+      "/graft/fixtures/nature_s41567-025-02944-3.html"),
+    Fixture("https://www.science.org/doi/10.1126/scitranslmed.test01", "science-html",
+      "/graft/fixtures/science_synthetic.html"))
+
+  def resourceText(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing fixture resource $path")
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  private def commitOf(repo: String, path: String): String =
+    sha256Hex(s"$repo/$path").take(12)
+
+  /** The five base rows — one per fixture page. Paths embed the fixture
+    * id so extraction provenance survives replication.
+    */
+  def baseRows: Seq[SourceFile] = fixtures.map { f =>
+    val repo = f.lang match {
+      case "aps-md" => "journals/aps"
+      case "nature-html" => "nature/articles"
+      case _ => "science/articles"
+    }
+    val path = s"${f.id.replace("https://", "").replace('/', '_')}.page"
+    SourceFile(repo, path, commitOf(repo, path), f.lang, resourceText(f.resource))
+  }
+
+  /** Replicated corpus of `n` rows. Row i is base fixture (i mod 5) under
+    * a varied (repo, path, commit); repo assignment is skewed — ~30% of
+    * rows land in one hot repo ("journals/aps-hot"), the rest spread over
+    * 20 cold repos.
+    */
+  def corpusRows(n: Int): Iterator[SourceFile] = {
+    val base = baseRows.toIndexedSeq
+    Iterator.range(0, n).map { i =>
+      val b = base(i % base.length)
+      val repo = if (i % 10 < 3) "journals/hot-repo" else s"repo-${i % 20}"
+      val path = s"${b.path.stripSuffix(".page")}_rep$i.page"
+      SourceFile(repo, path, commitOf(repo, path), b.lang, b.content)
+    }
+  }
+
+  def corpus(spark: SparkSession, n: Int, partitions: Int): Dataset[SourceFile] = {
+    import spark.implicits._
+    // Distributed synthesis: ship only the small base pages to executors
+    // and materialize row i on its own partition — no driver-side corpus.
+    val base = baseRows.toIndexedSeq
+    spark.range(0, n.toLong, 1L, partitions).mapPartitions { it =>
+      it.map { i0 =>
+        val i = i0.toInt
+        val b = base(i % base.length)
+        val repo = if (i % 10 < 3) "journals/hot-repo" else s"repo-${i % 20}"
+        val path = s"${b.path.stripSuffix(".page")}_rep$i.page"
+        SourceFile(repo, path, commitOf(repo, path), b.lang, b.content)
+      }
+    }
+  }
+
+  /** (path -> sha256) manifest for the ingest invariant at corpus size n. */
+  def manifest(n: Int): Map[String, String] = {
+    val hashes = baseRows.map(b => b.path -> sha256Hex(b.content)).toMap
+    val base = baseRows.toIndexedSeq
+    Iterator.range(0, n).map { i =>
+      val b = base(i % base.length)
+      s"${b.path.stripSuffix(".page")}_rep$i.page" -> hashes(b.path)
+    }.toMap
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.fixtures.FixtureCorpus
+import graft.model.PaperRecord
+import graft.rules.LlmResponseParser
+import graft.stages.{Ingest, MentionDetect, Pipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KG-construction queries over the bundled fixture corpus (the
+  * non-SQL-expressible operator families: slicer, rule extraction,
+  * LSH linking, iterative CC — driver records rows-only checks).
+  * `sfDir` is unused: inputs are the deterministic in-memory corpus.
+  */
+object KgQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CorpusN = 100
+
+  private def records(s: SparkSession): DataFrame =
+    MentionDetect.records(FixtureCorpus.corpus(s, CorpusN, 8)).toDF()
+
+  /** Full extraction: corpus -> sliced/parsed records -> triples. */
+  private val kgTriples: Q = (s, _) => {
+    import s.implicits._
+    MentionDetect.triples(records(s).as[PaperRecord]).toDF()
+      .orderBy("docId", "subj", "pred", "obj")
+  }
+
+  /** Ingest invariant surface: per-path sha256 (spot-checkable). */
+  private val kgIngest: Q = (s, _) => {
+    Ingest.withSha(FixtureCorpus.corpus(s, CorpusN, 8))
+      .select("repo", "path", "lang", "sha256").orderBy("path")
+  }
+
+  /** Entity table after linking + canonicalization. */
+  private val kgEntities: Q = (s, _) => {
+    import s.implicits._
+    Pipeline.entities(s, Pipeline.mentionsOf(records(s).as[PaperRecord]))
+      .orderBy("kind", "name")
+  }
+
+  /** The wide one-row-per-paper report (A3-A5, Chinese column schema of
+    * create_nature_table, nature_extractor.py:249-290) rendered for all
+    * docs: role-categorized affiliation sets, corresponding marked " *",
+    * sorted 、-joins.
+    */
+  private val kgWideReport: Q = (s, _) => {
+    import s.implicits._
+    records(s).as[PaperRecord].map { r =>
+      val firstCorr = scala.collection.mutable.Set.empty[String]
+      val other = scala.collection.mutable.Set.empty[String]
+      val corr = scala.collection.mutable.Set.empty[String]
+      r.authors.foreach { a =>
+        a.affiliations.foreach { aff =>
+          if (a.isCorresponding) corr += aff
+          if (Set("First Author", "First/Corresponding Author", "Corresponding Author")
+            .contains(a.role)) firstCorr += aff
+          else other += aff
+        }
+      }
+      val firstCorrMarked = firstCorr.toSeq.map(a => if (corr(a)) a + " *" else a)
+      (r.docId,
+        firstCorrMarked.sorted.mkString("、"),
+        other.toSeq.sorted.mkString("、"),
+        r.countries.sorted.mkString("、"),
+        r.abstractText.getOrElse(""),
+        r.contributions.getOrElse(""),
+        r.equalContributions.mkString("、"),
+        r.url.getOrElse(""))
+    }.toDF("doc_id", "first_corr_affiliations", "other_affiliations", "countries",
+      "abstract", "contributions", "equal_contributions", "url")
+      .distinct()
+      .orderBy("doc_id")
+  }
+
+  /** P25: the LLM-response regex parser over a synthetic response column
+    * (worked-example shape of main.py:87-94).
+    */
+  private val kgLlmParse: Q = (s, _) => {
+    import s.implicits._
+    val responses = Seq(
+      (1L, "新闻风格介绍：这是一段新闻介绍。论文信息提取：第一作者/共同作者单位/通讯作者单位：洛桑联邦理工学院*，其他作者单位：洛桑联邦理工学院，所有作者单位所属国家：瑞士，论文url链接：https://www.nature.com/articles/s41567-025-02944-3，论文名：Predicting topological entanglement entropy in a Rydberg analogue simulator"),
+      (2L, "malformed response with no markers")
+    ).toDF("id", "response")
+    responses.select(col("id") +: LlmResponseParser.columns(col("response")): _*)
+      .orderBy("id")
+  }
+
+  /** Canonicalization visibility: name -> canonical entity id for the
+    * fixture alias clusters (O'Dea/ODea, Westlake variants, venues).
+    */
+  private val kgCanonicalMap: Q = (s, _) => {
+    import s.implicits._
+    Pipeline.canonicalMap(s, Pipeline.mentionsOf(records(s).as[PaperRecord]))
+      .orderBy("kind", "name")
+  }
+
+  val all: Map[String, Q] = Map(
+    "kg01_triples" -> kgTriples,
+    "kg02_ingest_sha" -> kgIngest,
+    "kg03_entities" -> kgEntities,
+    "kg04_wide_report" -> kgWideReport,
+    "kg05_llm_parse" -> kgLlmParse,
+    "kg06_canonical_map" -> kgCanonicalMap)
+}

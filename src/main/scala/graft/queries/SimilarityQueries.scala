@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.stages.EntityLink
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Near-duplicate detection and similarity search over `documents` /
+  * `embeddings` — the scale-path operators of a training-data pipeline.
+  *
+  * Candidate generation is always LSH-bucketed (an equi join on band
+  * keys — never all-pairs), except the brute-force ANN baseline, a
+  * bounded cross join (10 probes x corpus) kept as the exact-answer
+  * reference for the LSH variant.
+  */
+object SimilarityQueries {
+
+  private def docs(dir: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(dir: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def wordShingles(text: String, n: Int = 5): Set[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(n)
+      .map(_.mkString(" ")).toSet
+
+  /** MinHash-LSH near-dup pairs over word 5-gram shingles: banded
+    * signatures -> equi self-join per (band, key) -> verified Jaccard.
+    * Same engine as the KG entity linker (graft.stages.EntityLink);
+    * only the shingle set differs (word n-grams, not char trigrams).
+    */
+  private val minhashDedup: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val d = docs(dir).select("doc_id", "text").as[(Long, String)]
+
+    val banded = d.flatMap { case (id, text) =>
+      val sig = EntityLink.signature(wordShingles(text))
+      (0 until EntityLink.Bands).map { b =>
+        val slice = sig.slice(b * EntityLink.RowsPerBand, (b + 1) * EntityLink.RowsPerBand)
+        (id, b, MurmurHash3.arrayHash(slice, 0x85ebca6b).toLong)
+      }
+    }.toDF("doc_id", "band", "bkey")
+
+    val pairs = banded.as("l").join(banded.as("r"),
+        $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
+
+    val texts = d.toDF("id", "t")
+    pairs
+      .join(texts, pairs("a") === texts("id")).withColumnRenamed("t", "ta").drop("id")
+      .join(texts, pairs("b") === texts("id")).withColumnRenamed("t", "tb").drop("id")
+      .select($"a", $"b", $"ta", $"tb").as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        (a, b, EntityLink.jaccard(wordShingles(ta), wordShingles(tb)))
+      }
+      .toDF("a", "b", "jaccard")
+      .filter($"jaccard" >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  /** 64-bit SimHash of whitespace words. */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        val h = (MurmurHash3.stringHash(w, 0x1234abcd).toLong << 32) |
+          (MurmurHash3.stringHash(w, 0x9e3779b9).toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** SimHash near-dups: fingerprint -> 4x16-bit bands -> bucket self-join
+    * -> Hamming distance <= 6 verified (pigeonhole: any pair within 6
+    * bits shares at least one intact 16-bit band... for <= 3 flips; the
+    * band join is the candidate filter, Hamming check is authoritative).
+    */
+  private val simhashDedup: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val fp = docs(dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }.toDF("doc_id", "fp")
+    val banded = fp.as[(Long, Long)].flatMap { case (id, f) =>
+      (0 until 4).map(b => (id, f, b, (f >>> (b * 16)) & 0xffffL))
+    }.toDF("doc_id", "fp", "band", "bkey")
+    banded.as("l").join(banded.as("r"),
+        $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"),
+        bit_count($"l.fp".bitwiseXOR($"r.fp")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+      .orderBy("a", "b")
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k: 10 probes x full corpus, exact answer.
+    * Probe set is broadcast; the corpus scans once, no shuffle of
+    * embeddings. Floats are widened to double before the product so the
+    * arithmetic matches the DuckDB oracle bit-for-bit pre-rounding.
+    */
+  private val annBrute: Q = (s, dir) => {
+    implicit val sp = s
+    val e = embs(dir).withColumn("emb", col("embedding").cast("array<double>"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("probe"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_raw",
+        dot(col("probe"), col("emb")) /
+          (sqrt(dot(col("probe"), col("probe"))) * sqrt(dot(col("emb"), col("emb")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** ANN scale path: random-hyperplane LSH — 12 signed projections give a
+    * 12-bit bucket; probes only score their own bucket. Recall < 1 by
+    * construction; the brute-force query is the reference answer.
+    */
+  private val annLsh: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val dim = 64
+    val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(12)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    def bucketOf(v: Seq[Float]): Int = {
+      var key = 0
+      var p = 0
+      while (p < planes.length) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim && i < v.length) { acc += planes(p)(i) * v(i); i += 1 }
+        if (acc > 0) key |= (1 << p)
+        p += 1
+      }
+      key
+    }
+    val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, bucketOf(v)) }
+      .toDF("vec_id", "embedding", "bucket")
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"), col("bucket"))
+    val pe = col("probe").cast("array<double>")
+    val ee = col("embedding").cast("array<double>")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_raw", dot(pe, ee) / (sqrt(dot(pe, pe)) * sqrt(dot(ee, ee))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Multimodal plumbing: documents as opaque binary blobs + typed
+    * metadata, "decoded" per partition by a stubbed codec (the real
+    * image/audio libs are absent offline — the decode is a deterministic
+    * fake; schema, batching and partition shape are the real contract).
+    */
+  private val multimodalStub: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    docs(dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"), col("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        // per-partition "codec" init happens here (stub)
+        it.map { case (id, blob, source) =>
+          val fakeW = 16 + (math.abs(MurmurHash3.bytesHash(blob, 1)) % 64)
+          val fakeH = 16 + (math.abs(MurmurHash3.bytesHash(blob, 2)) % 64)
+          (id, source, blob.length.toLong, fakeW, fakeH, blob.take(4).map(b => f"$b%02x").mkString)
+        }
+      }
+      .toDF("doc_id", "source", "n_bytes", "width", "height", "magic")
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "s01_minhash_neardup" -> minhashDedup,
+    "s02_simhash_neardup" -> simhashDedup,
+    "s03_ann_cosine_topk" -> annBrute,
+    "s04_ann_lsh_topk" -> annLsh,
+    "s05_multimodal_decode" -> multimodalStub)
+
+  val oracle: Map[String, String] = Map(
+    "s03_ann_cosine_topk" ->
+      // embeddings are FLOAT[]; widen to DOUBLE[] so the arithmetic (and
+      // the 6-dp rounding) matches the engine's double-precision cosine.
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT probe_id, vec_id,
+        |    list_cosine_similarity(probe, CAST(embedding AS DOUBLE[])) AS cos_raw,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY list_cosine_similarity(probe, CAST(embedding AS DOUBLE[])) DESC, vec_id) AS rank
+        |  FROM embeddings CROSS JOIN probes WHERE vec_id <> probe_id)
+        |SELECT probe_id, vec_id, round(cos_raw, 6) AS cosine, rank FROM scored WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin)
+}

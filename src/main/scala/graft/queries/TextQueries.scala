@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars): exact dedup, token counting,
+  * quality scoring, stopword-based language id, regex extraction.
+  * All SQL-expressible -> full DuckDB oracles.
+  */
+object TextQueries {
+
+  private def docs(dir: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: content-hash groupBy; keeper = min doc_id per cluster.
+    * One shuffle on the hash; at 100 TB this is the canonical first
+    * dedup pass (hash is 32 bytes/row, content never reshuffles).
+    */
+  private val dedupExact: Q = (s, dir) => {
+    implicit val sp = s
+    docs(dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy("content_hash")
+  }
+
+  /** Whitespace token count per doc + per-lang aggregate. */
+  private val tokenCount: Q = (s, dir) => {
+    implicit val sp = s
+    docs(dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * mean word length — the standard cheap pretraining-quality signals.
+    */
+  private val qualityScore: Q = (s, dir) => {
+    implicit val sp = s
+    val tokens = size(split(trim(col("text")), "\\s+"))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    // padded-split hit counting (RE2-portable: DuckDB has no \b)
+    val stop = size(split(concat(lit(" "), col("text"), lit(" ")), "\\sthe\\s")) - 1
+    // floor-based rounding: Spark round() is decimal HALF_UP, DuckDB
+    // rounds in binary — identical floor(x*s+0.5)/s double math on both
+    // sides removes the x.xx5 boundary disagreements.
+    def r(c: Column, s: Int): Column = floor(c * s + 0.5) / s
+    docs(dir)
+      .withColumn("n_tokens", tokens)
+      .withColumn("punct_ratio", r(punct.cast("double") / length(col("text")), 10000))
+      .withColumn("stopword_ratio", r(stop.cast("double") / tokens, 10000))
+      .withColumn("mean_word_len",
+        r((length(col("text")) - tokens + 1).cast("double") / tokens, 100))
+      .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len")
+      .orderBy("doc_id")
+  }
+
+  /** Language id: stopword-hit heuristic — count hits of one high-
+    * frequency marker word per language, argmax wins (ties -> und).
+    * Evaluated against the labeled lang column.
+    */
+  private val langId: Q = (s, dir) => {
+    implicit val sp = s
+    def hits(word: String) = size(split(concat(lit(" "), col("text"), lit(" ")), s"\\s$word\\s")) - 1
+    val scored = docs(dir)
+      .withColumn("en_hits", hits("the"))
+      .withColumn("de_hits", hits("der") + hits("und"))
+      .withColumn("fr_hits", hits("le") + hits("et"))
+      .withColumn("es_hits", hits("el") + hits("y"))
+    val best = greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"))
+    scored
+      .withColumn("pred_lang",
+        when(best === 0, lit("und"))
+          .when(best === col("en_hits"), lit("en"))
+          .when(best === col("de_hits"), lit("de"))
+          .when(best === col("fr_hits"), lit("fr"))
+          .when(best === col("es_hits"), lit("es")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Regex extraction over documents: first 'spark'-prefixed token and
+    * occurrence counts (the P-family operators in SQL-checkable form).
+    */
+  private val extractRegex: Q = (s, dir) => {
+    implicit val sp = s
+    docs(dir)
+      .withColumn("first_spark", regexp_extract(col("text"), "(spark\\w*)", 1))
+      .withColumn("n_scan", size(split(concat(lit(" "), col("text"), lit(" ")), "\\sscan\\s")) - 1)
+      .filter(col("first_spark") =!= "" || col("n_scan") > 0)
+      .select("doc_id", "first_spark", "n_scan")
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "t01_dedup_exact" -> dedupExact,
+    "t02_token_count" -> tokenCount,
+    "t03_quality_score" -> qualityScore,
+    "t04_lang_id" -> langId,
+    "t05_extract_regex" -> extractRegex)
+
+  val oracle: Map[String, String] = Map(
+    "t01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t02_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+        |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 2) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t03_quality_score" ->
+      // CAST AS DOUBLE, not "* 1.0": a 1.0 literal is DECIMAL in DuckDB
+      // and decimal division rounds differently than Spark's doubles.
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  floor(CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / len(text) * 10000 + 0.5) / 10000 AS punct_ratio,
+        |  floor(CAST(len(regexp_split_to_array(' ' || text || ' ', '\sthe\s')) - 1 AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) * 10000 + 0.5) / 10000 AS stopword_ratio,
+        |  floor(CAST(len(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1 AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) * 100 + 0.5) / 100 AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(' ' || text || ' ', '\sthe\s')) - 1 AS en_hits,
+        |    len(regexp_split_to_array(' ' || text || ' ', '\sder\s')) - 1
+        |      + len(regexp_split_to_array(' ' || text || ' ', '\sund\s')) - 1 AS de_hits,
+        |    len(regexp_split_to_array(' ' || text || ' ', '\sle\s')) - 1
+        |      + len(regexp_split_to_array(' ' || text || ' ', '\set\s')) - 1 AS fr_hits,
+        |    len(regexp_split_to_array(' ' || text || ' ', '\sel\s')) - 1
+        |      + len(regexp_split_to_array(' ' || text || ' ', '\sy\s')) - 1 AS es_hits
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang, CASE
+        |    WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |    WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = en_hits THEN 'en'
+        |    WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = de_hits THEN 'de'
+        |    WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = fr_hits THEN 'fr'
+        |    ELSE 'es' END AS pred_lang
+        |  FROM scored)
+        |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t05_extract_regex" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '(spark\w*)', 1), '') AS first_spark,
+        |  len(regexp_split_to_array(' ' || text || ' ', '\sscan\s')) - 1 AS n_scan
+        |FROM documents
+        |WHERE coalesce(regexp_extract(text, '(spark\w*)', 1), '') <> ''
+        |  OR len(regexp_split_to_array(' ' || text || ' ', '\sscan\s')) - 1 > 0
+        |ORDER BY doc_id""".stripMargin)
+}

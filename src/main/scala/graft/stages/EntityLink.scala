@@ -1,0 +1,119 @@
+package graft.stages
+
+import graft.model.Mention
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Entity linking (J6): mention surfaces -> candidate same-entity edges.
+  *
+  * Two match paths, both shuffle-lean:
+  *  - exact-alias match against a broadcast canonical dictionary
+  *    (tiny build side -> broadcast hash join);
+  *  - fuzzy matching of name variants (O'Dea/ODea, Centre/Center, ...)
+  *    via hand-rolled banded MinHash-LSH over character 3-gram shingles:
+  *    explode to (band, bandKey) -> equi self-join per bucket -> verified
+  *    Jaccard filter. Keeps the dependency surface at spark-sql (no
+  *    spark-ml vectors) and the join an equi join Catalyst can plan.
+  *
+  * Determinism: fixed hash seeds; band keys derived from MurmurHash3.
+  * Scale: the self-join is per (kind, band, bandKey) bucket — cardinality
+  * per bucket is bounded by near-duplicate density, never all-pairs.
+  */
+object EntityLink {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+  private val Prime = 2038074743L // large prime < 2^31 * ~0.95
+
+  // Fixed affine coefficients (seeded, deterministic across JVMs).
+  private val coeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Shingling key: lowercase alphanumerics only — folds case,
+    * punctuation and spacing variants (O'Dea == ODea) before hashing.
+    */
+  def shingleKey(s: String): String = s.toLowerCase.filter(_.isLetterOrDigit)
+
+  def shingles(s: String, k: Int = 3): Set[String] = {
+    val key = shingleKey(s)
+    if (key.length <= k) Set(key) else key.sliding(k).toSet
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val inter = a.intersect(b).size.toDouble
+      inter / (a.size + b.size - inter)
+    }
+  }
+
+  def signature(sh: Set[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    sh.foreach { g =>
+      val h = MurmurHash3.stringHash(g, 0x9747b28c).toLong & 0xffffffffL
+      var i = 0
+      while (i < NumHashes) {
+        val (a, b) = coeffs(i)
+        val v = (a * h + b) % Prime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Band keys of a name: Bands entries hashing RowsPerBand signature
+    * slots each. Same band key in the same band => LSH candidate pair.
+    */
+  def bandKeys(name: String): Seq[(Int, Long)] = {
+    val sig = signature(shingles(name))
+    (0 until Bands).map { b =>
+      val slice = sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
+      (b, MurmurHash3.arrayHash(slice, 0x85ebca6b).toLong)
+    }
+  }
+
+  /** Distinct (kind, name) -> verified fuzzy same-entity edges
+    * (kind, src, dst, jaccard) with src < dst.
+    */
+  def fuzzyEdges(names: DataFrame, tau: Double): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+
+    val banded = names.select("kind", "name").distinct().as[(String, String)]
+      .flatMap { case (kind, name) =>
+        bandKeys(name).map { case (b, k) => (kind, name, b, k) }
+      }.toDF("kind", "name", "band", "bkey")
+
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        $"l.kind" === $"r.kind" && $"l.band" === $"r.band" &&
+          $"l.bkey" === $"r.bkey" && $"l.name" < $"r.name")
+      .select($"l.kind".as("kind"), $"l.name".as("src"), $"r.name".as("dst"))
+      .distinct()
+
+    candidates.as[(String, String, String)]
+      .map { case (kind, a, b) => (kind, a, b, jaccard(shingles(a), shingles(b))) }
+      .toDF("kind", "src", "dst", "jaccard")
+      .filter($"jaccard" >= tau)
+  }
+
+  /** Exact-alias edges from a canonical dictionary (kind, alias,
+    * canonical): broadcast hash join, no shuffle of the mention side.
+    */
+  def dictEdges(names: DataFrame, dict: DataFrame): DataFrame = {
+    names.select("kind", "name").distinct()
+      .join(broadcast(dict), Seq("kind"), "inner")
+      .filter(col("name") === col("alias") && col("name") =!= col("canonical"))
+      .select(col("kind"), col("name").as("src"), col("canonical").as("dst"))
+  }
+
+  /** Mentions -> distinct (kind, name) frame. */
+  def namesOf(mentions: Dataset[Mention]): DataFrame =
+    mentions.toDF().select(col("kind"), col("surface").as("name")).distinct()
+}

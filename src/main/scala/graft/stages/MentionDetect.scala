@@ -1,0 +1,53 @@
+package graft.stages
+
+import graft.model._
+import graft.rules._
+import org.apache.spark.sql.Dataset
+import scala.util.{Failure, Success, Try}
+
+/** Mention detection: Dataset[SourceFile] -> Dataset[PaperRecord] ->
+  * Dataset[Triple].
+  *
+  * One mapPartitions pass; rule maps (compiled regexes) live in JVM-wide
+  * objects, so pattern-compilation cost is paid once per executor — the
+  * Spark analog of the reference's browser-singleton reuse
+  * (aps_extractor.py:14-50). Dispatch on the `lang` shape tag mirrors the
+  * URL-substring dispatch of main.py:167-179; unknown shapes and parse
+  * failures land in the quarantine side-output (E2 semantics:
+  * aps_extractor.py:401-418) instead of failing the job.
+  */
+object MentionDetect {
+
+  def parseOne(f: SourceFile): Either[QuarantineRow, PaperRecord] = {
+    Try {
+      f.lang match {
+        case "aps-md" =>
+          // Raw crawl markdown is sliced first; already-sliced pages pass
+          // through the slicer unchanged (it is a fixpoint for them).
+          ApsRules.parseRaw(f.content, f.path)
+            .toRight(QuarantineRow(f.repo, f.path, f.lang, "no paper body found"))
+        case "nature-html" => Right(NatureRules.parse(f.content, f.path))
+        case "science-html" => Right(ScienceRules.parse(f.content, f.path))
+        case other => Left(QuarantineRow(f.repo, f.path, f.lang, s"unknown shape tag: $other"))
+      }
+    } match {
+      case Success(r) => r
+      case Failure(e) => Left(QuarantineRow(f.repo, f.path, f.lang, String.valueOf(e)))
+    }
+  }
+
+  def records(files: Dataset[SourceFile]): Dataset[PaperRecord] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[PaperRecord]
+    files.mapPartitions(_.map(parseOne).collect { case Right(r) => r })
+  }
+
+  def quarantine(files: Dataset[SourceFile]): Dataset[QuarantineRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[QuarantineRow]
+    files.mapPartitions(_.map(parseOne).collect { case Left(q) => q })
+  }
+
+  def triples(records: Dataset[PaperRecord]): Dataset[Triple] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Triple]
+    records.flatMap(TripleEmit.emit)
+  }
+}
