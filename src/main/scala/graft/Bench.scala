@@ -1,24 +1,86 @@
 package graft
+
+import graft.fixtures.FixtureCorpus
+import graft.stages.{MentionDetect, Pipeline}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Two sections:
+  *  - headline operator queries over SPARK_GRAFT_SF_DIR (seconds each);
+  *  - the KG pipeline over a replicated fixture corpus
+  *    (SPARK_GRAFT_KG_N pages, default 6000): reports wall seconds and
+  *    triples/sec — the BASELINE.json headline metric.
+  *
+  * Scaling protocol (BASELINE.md): run twice with SPARK_GRAFT_CPUS=8 and
+  * =32 on the same inputs; efficiency = (tps_32 / tps_8) / 4.
+  */
 object Bench {
+
+  // Headline subset: one per operator family (full set runs in Verify).
+  private val headline = Seq(
+    "q01_pricing_agg", "q02_revenue_by_nation", "q03_top_orders",
+    "q06_filter_pushdown_agg", "q07_window_running", "q08_distinct_agg",
+    "q11_events_json_hourly", "q13_rollup",
+    "t01_dedup_exact", "t02_token_count", "t03_quality_score", "t04_lang_id",
+    "s01_minhash_neardup", "s02_simhash_neardup", "s03_ann_cosine_topk",
+    "s05_multimodal_decode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "6000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Warm up the session (scheduler, codegen, parquet footer reads) so
+    // the first timed query does not absorb JVM initialization.
+    spark.range(1000000).selectExpr("sum(id)").count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey").limit(1).count()
+
+    val qmap = SparkEntry.queries
+    val results = headline.filter(qmap.contains).map { name =>
+      val (_, sec) =
+        try time(qmap(name)(spark, sfDir).count())
+        catch { case _: Throwable => ((), -1.0) }
+      name -> sec
+    }
+
+    // KG pipeline: extraction throughput (mapPartitions, shuffle-free) —
+    // the content-bearing stage that dominates at 100 TB.
+    val files = FixtureCorpus.corpus(spark, kgN, cpus.toInt * 4)
+    val (nTriples, kgSec) = time {
+      MentionDetect.triples(MentionDetect.records(files)).count()
+    }
+    val tps = nTriples / kgSec
+
+    // Linking + canonicalization over the distinct-name space.
+    val (_, linkSec) = time {
+      import spark.implicits._
+      val records = MentionDetect.records(
+        FixtureCorpus.corpus(spark, math.min(kgN, 2000), cpus.toInt * 2))
+      Pipeline.entities(spark, Pipeline.mentionsOf(records)).count()
+    }
+
+    val qs = (results ++ Seq("kg_extract_pipeline" -> kgSec, "kg_entity_link" -> linkSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + kgSec + linkSec
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${f"$tps%.1f"}}""")
     spark.stop()
   }
 }

@@ -22,7 +22,11 @@ object FixtureCorpus {
     Fixture("https://www.nature.com/articles/s41567-025-02944-3", "nature-html",
       "/graft/fixtures/nature_s41567-025-02944-3.html"),
     Fixture("https://www.science.org/doi/10.1126/scitranslmed.test01", "science-html",
-      "/graft/fixtures/science_synthetic.html"))
+      "/graft/fixtures/science_synthetic.html"),
+    Fixture("10.1103/PhysRevLett.130.267401", "aps-html",
+      "/graft/fixtures/aps_html_detailed.html"),
+    Fixture("10.1103/PhysRevB.99.000001", "aps-html",
+      "/graft/fixtures/aps_html_meta.html"))
 
   def resourceText(path: String): String = {
     val in = getClass.getResourceAsStream(path)
@@ -44,7 +48,7 @@ object FixtureCorpus {
     */
   def baseRows: Seq[SourceFile] = fixtures.map { f =>
     val repo = f.lang match {
-      case "aps-md" => "journals/aps"
+      case "aps-md" | "aps-html" => "journals/aps"
       case "nature-html" => "nature/articles"
       case _ => "science/articles"
     }

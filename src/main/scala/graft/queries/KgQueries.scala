@@ -97,11 +97,42 @@ object KgQueries {
       .orderBy("kind", "name")
   }
 
+  /** S11/S9: the JSON-string record form (the reference returns Science
+    * records as json.dumps strings, science_extractor.py:194) — records
+    * rendered with to_json(struct(...)).
+    */
+  private val kgRecordsJson: Q = (s, _) => {
+    records(s)
+      .select(col("docId"),
+        to_json(struct(col("title"), col("journalName"), col("doi"),
+          col("publicationDate"), col("countries"))).as("record_json"))
+      .distinct()
+      .orderBy("docId")
+  }
+
+  /** A7: extraction-quality counters per doc (the extraction_quality
+    * struct of aps_extractor.py:392-397 as an aggregate over records).
+    */
+  private val kgQuality: Q = (s, _) => {
+    records(s)
+      .select(col("docId"),
+        col("title").isNotNull.as("has_title"),
+        col("abstractText").isNotNull.as("has_abstract"),
+        (size(col("authors")) > 0).as("has_authors"),
+        size(col("authors")).as("author_count"))
+      .distinct()
+      .groupBy("has_title", "has_abstract", "has_authors", "author_count")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("author_count")
+  }
+
   val all: Map[String, Q] = Map(
     "kg01_triples" -> kgTriples,
     "kg02_ingest_sha" -> kgIngest,
     "kg03_entities" -> kgEntities,
     "kg04_wide_report" -> kgWideReport,
     "kg05_llm_parse" -> kgLlmParse,
-    "kg06_canonical_map" -> kgCanonicalMap)
+    "kg06_canonical_map" -> kgCanonicalMap,
+    "kg07_records_json" -> kgRecordsJson,
+    "kg08_quality" -> kgQuality)
 }

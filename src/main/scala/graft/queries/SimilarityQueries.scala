@@ -193,12 +193,52 @@ object SimilarityQueries {
       .orderBy("doc_id")
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH bucket
+    * self-join (equi join on the 8-bit signature) -> verified cosine
+    * above threshold. The vector twin of s01/s02 for semantic dedup; the
+    * 0.3 threshold reflects the synthetic corpus (isotropic vectors max
+    * out below 0.5 cosine) — real dedup would run 0.9+.
+    */
+  private val embNeardup: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val dim = 64
+    val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(11)
+      Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        var key = 0
+        var p = 0
+        while (p < planes.length) {
+          var acc = 0.0
+          var i = 0
+          while (i < dim && i < v.length) { acc += planes(p)(i) * v(i); i += 1 }
+          if (acc > 0) key |= (1 << p)
+          p += 1
+        }
+        (id, v, key)
+      }.toDF("vec_id", "embedding", "bucket")
+    val pe = col("ea").cast("array<double>")
+    val qe = col("eb").cast("array<double>")
+    e.as("l").join(e.as("r"), $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
+        $"l.embedding".as("ea"), $"r.embedding".as("eb"))
+      .withColumn("cosine",
+        round(dot(pe, qe) / (sqrt(dot(pe, pe)) * sqrt(dot(qe, qe))), 6))
+      .filter(col("cosine") >= 0.3)
+      .select("a", "b", "cosine")
+      .orderBy("a", "b")
+  }
+
   val all: Map[String, Q] = Map(
     "s01_minhash_neardup" -> minhashDedup,
     "s02_simhash_neardup" -> simhashDedup,
     "s03_ann_cosine_topk" -> annBrute,
     "s04_ann_lsh_topk" -> annLsh,
-    "s05_multimodal_decode" -> multimodalStub)
+    "s05_multimodal_decode" -> multimodalStub,
+    "s06_embedding_neardup" -> embNeardup)
 
   val oracle: Map[String, String] = Map(
     "s03_ann_cosine_topk" ->

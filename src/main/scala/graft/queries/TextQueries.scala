@@ -100,12 +100,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish regex tokenization: word pieces and standalone punctuation
+    * counted separately (the RE2-portable subset of a GPT-2-style
+    * pretokenizer), plus bytes-per-token — the standard corpus stat.
+    */
+  private val bpeTokens: Q = (s, dir) => {
+    implicit val sp = s
+    val words = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    docs(dir)
+      .withColumn("word_tokens", words)
+      .withColumn("punct_tokens", punct)
+      .withColumn("bytes_per_token",
+        floor(length(col("text")).cast("double") / (words + punct) * 100 + 0.5) / 100)
+      .select("doc_id", "word_tokens", "punct_tokens", "bytes_per_token")
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprint (Rabin-Karp shape) per document —
+    * deterministic 64-bit content id computed per partition; grouping
+    * on it is the shuffle-cheap dedup key (32 B/row). Non-SQL (rows-only
+    * oracle).
+    */
+  private val fingerprint: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    docs(dir).select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t) =>
+          var h = 1125899906842597L // large prime seed
+          var i = 0
+          while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "fingerprint")
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keeper_doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "t01_dedup_exact" -> dedupExact,
     "t02_token_count" -> tokenCount,
     "t03_quality_score" -> qualityScore,
     "t04_lang_id" -> langId,
-    "t05_extract_regex" -> extractRegex)
+    "t05_extract_regex" -> extractRegex,
+    "t06_bpe_tokens" -> bpeTokens,
+    "t07_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
     "t01_dedup_exact" ->
@@ -147,6 +189,14 @@ object TextQueries {
         |    ELSE 'es' END AS pred_lang
         |  FROM scored)
         |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t06_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_tokens,
+        |  floor(CAST(len(text) AS DOUBLE)
+        |    / (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        |       + len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) * 100 + 0.5) / 100 AS bytes_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t05_extract_regex" ->
       """SELECT doc_id,
         |  coalesce(regexp_extract(text, '(spark\w*)', 1), '') AS first_spark,

@@ -48,13 +48,18 @@ object ApsRules {
   private val months = Seq("January", "February", "March", "April", "May", "June",
     "July", "August", "September", "October", "November", "December")
   private val datePat = Pattern.compile("""(\d{1,2})\s+([A-Za-z]+),?\s+(\d{4})""")
+  private val slashDatePat = Pattern.compile("""(\d{4})/(\d{1,2})/(\d{1,2})""")
   def toIsoDate(formatted: String): Option[String] = {
     val m = datePat.matcher(formatted)
-    if (!m.find()) None
-    else {
+    if (m.find()) {
       val month = months.indexWhere(_.equalsIgnoreCase(m.group(2))) + 1
       if (month == 0) None
       else Some(f"${m.group(3).toInt}%04d-$month%02d-${m.group(1).toInt}%02d")
+    } else {
+      // meta citation_publication_date shape: yyyy/mm/dd
+      val s = slashDatePat.matcher(formatted)
+      if (s.find()) Some(f"${s.group(1).toInt}%04d-${s.group(2).toInt}%02d-${s.group(3).toInt}%02d")
+      else None
     }
   }
 

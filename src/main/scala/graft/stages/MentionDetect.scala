@@ -26,6 +26,7 @@ object MentionDetect {
           // through the slicer unchanged (it is a fixpoint for them).
           ApsRules.parseRaw(f.content, f.path)
             .toRight(QuarantineRow(f.repo, f.path, f.lang, "no paper body found"))
+        case "aps-html" => Right(ApsHtmlRules.parse(f.content, f.path))
         case "nature-html" => Right(NatureRules.parse(f.content, f.path))
         case "science-html" => Right(ScienceRules.parse(f.content, f.path))
         case other => Left(QuarantineRow(f.repo, f.path, f.lang, s"unknown shape tag: $other"))

@@ -76,9 +76,14 @@ object Pipeline {
         coalesce(col("canonicalName"), col("name")).as("entityId"))
   }
 
-  /** End-to-end: files -> canonicalized triples (+ entity table). */
+  /** End-to-end: files -> canonicalized triples (+ entity table).
+    * Records are persisted: both the triple emission and the mention
+    * stream consume them, and re-parsing page bodies is the expensive
+    * part of the whole pipeline.
+    */
   def run(spark: SparkSession, files: Dataset[SourceFile]): (Dataset[Triple], DataFrame) = {
     val records = MentionDetect.records(files)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val triples = MentionDetect.triples(records)
     val ment = mentionsOf(records)
     val ents = entities(spark, ment)

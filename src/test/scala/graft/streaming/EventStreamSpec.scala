@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming semantics checked against the equivalent batch plan on the
+  * same input (stream-batch parity).
+  */
+class EventStreamSpec extends SparkSpec {
+
+  test("windowed streaming counts equal the batch aggregation") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    // stage the sf0.001 events as the stream source, normalizing the
+    // TIMESTAMP_NTZ column to TIMESTAMP (UTC session)
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.startMemoryQuery(spark, dir, "evt_counts")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM evt_counts")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventStream.windowedCounts(
+        spark.read.parquet(dir))
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}

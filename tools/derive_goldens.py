@@ -203,6 +203,68 @@ def emit_science():
         if c: t.append((doc, f"inst:{a}", "locatedIn", c))
     return t
 
+def emit_aps_html_detailed():
+    """Golden for the aps_html_detailed.html fixture (strategy-1 DOM
+    parse: author anchors + footnote dicts, aps_extractor.py:248-304)."""
+    doc = "10.1103/PhysRevLett.130.267401"
+    a1 = "Institute of Photonics, Technical University of Warsaw, 00-661 Warsaw, Poland"
+    a2 = "Department of Materials Science, National University of Singapore, Singapore 117575, Singapore"
+    contact = "Contact author: anna.kowalski@tuw.edu.pl"
+    abstract = ("We measure exciton binding energies in monolayer transition-metal "
+        "dichalcogenides using broadband magneto-optical spectroscopy and find strong "
+        "deviations from the hydrogenic Rydberg series, which we attribute to nonlocal "
+        "dielectric screening and band-structure anisotropy in the two-dimensional limit.")
+    t = [(doc, doc, "hasTitle", "Excitonic Effects in Two-Dimensional Semiconductors"),
+         (doc, doc, "publishedIn", "Physical Review Letters"),
+         (doc, doc, "hasDOI", doc),
+         (doc, doc, "publishedOn", "2023-06-28"),
+         (doc, doc, "hasAbstract", abstract)]
+    authors = [
+        ("Anna Kowalski", "First/Corresponding Author", True, [a1], [contact]),
+        ("Ben Okafor", "Other Author", False, [a1, a2], []),
+        ("Chen Wei", "Other Author", False, [a2], [])]
+    for name, role, corr, affs, credits in authors:
+        subj = f"author:{name}"
+        t.append((doc, doc, "hasAuthor", subj))
+        t.append((doc, subj, "hasRole", role))
+        if corr: t.append((doc, subj, "isCorresponding", "true"))
+        for a in affs:
+            t.append((doc, subj, "affiliatedWith", f"inst:{a}"))
+        for c in credits:
+            t.append((doc, subj, "hasCreditRole", c))
+    for a in (a1, a2):
+        _, c = norm_aff(a)
+        if c: t.append((doc, f"inst:{a}", "locatedIn", c))
+    return t
+
+def emit_aps_html_meta():
+    """Golden for aps_html_meta.html (strategy-3 meta-tag zip, J4)."""
+    doc = "10.1103/PhysRevB.99.000001"
+    a1 = "Department of Physics, University of Toronto, Toronto, Canada"
+    a2 = "Center for Quantum Materials, University of Oslo, Oslo, Norway"
+    abstract = ("We report the observation of flat-band ferromagnetism in epitaxial "
+        "kagome metal thin films and show that the ordering temperature scales with the "
+        "flat-band filling fraction, consistent with a mean-field Stoner picture "
+        "renormalized by quantum geometry.")
+    # title comes from the <title> selector (tried before the meta
+    # fallback, aps_extractor.py:173-179) -> includes the site suffix
+    t = [(doc, doc, "hasTitle", "Flat-band magnetism in kagome metal thin films | Phys. Rev. B"),
+         (doc, doc, "publishedIn", "Physical Review B"),
+         (doc, doc, "hasDOI", doc),
+         (doc, doc, "publishedOn", "2024-02-12"),
+         (doc, doc, "hasAbstract", abstract)]
+    authors = [("Dana Petrov", "First Author", [a1]), ("Emil Haugen", "Other Author", [a2])]
+    for name, role, affs in authors:
+        subj = f"author:{name}"
+        t.append((doc, doc, "hasAuthor", subj))
+        t.append((doc, subj, "hasRole", role))
+        for a in affs:
+            t.append((doc, subj, "affiliatedWith", f"inst:{a}"))
+    for a in (a1, a2):
+        _, c = norm_aff(a)
+        if c: t.append((doc, f"inst:{a}", "locatedIn", c))
+    return t
+
 def main():
     triples = []
     triples += emit_aps(f"{REF}/extracted_content.md")          # 10.1103/pyzr-jmvw
@@ -210,6 +272,8 @@ def main():
     triples += emit_aps(f"{REF}/clean_extracted.md")            # 10.1103/7x71-8j7k
     triples += emit_nature()
     triples += emit_science()
+    triples += emit_aps_html_detailed()
+    triples += emit_aps_html_meta()
     seen = set()
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w", encoding="utf-8") as f:
