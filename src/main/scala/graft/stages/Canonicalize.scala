@@ -1,28 +1,76 @@
 package graft.stages
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
 
-/** Canonicalization (J7): duplicate-entity resolution via iterative-join
-  * connected components — pure DataFrame label propagation to the
-  * component minimum (deterministic canonical id), no RDD/GraphX.
+/** Canonicalization (J7): duplicate-entity resolution via connected
+  * components — canonical id = component minimum (deterministic),
+  * no RDD/GraphX.
   *
-  * Each iteration is one shuffle (groupBy vertex); lineage is truncated
-  * with localCheckpoint every iteration so the plan does not grow across
-  * the loop (SURVEY.md §7.4 risk 4). Converges in O(component diameter)
-  * iterations; name-variant clusters are tiny, so the loop is short, and
-  * the maxIter bound backstops pathological inputs.
+  * Two physical paths behind one semantics:
+  *  - small graphs (edge count <= smallCutoff): union-find on the driver.
+  *    The edge set of an entity-resolution graph is the *distinct
+  *    name-variant pair* space — metadata-sized even for huge corpora —
+  *    so this is the common case, and it avoids paying one shuffle +
+  *    three scheduler round-trips per iteration for a graph of a few
+  *    thousand rows (measured: 70 s of pure orchestration at 60 names).
+  *  - large graphs: iterative DataFrame label propagation, one shuffle
+  *    per iteration, lineage truncated with localCheckpoint, fixpoint
+  *    detected by a change count. This is the 100 TB path; both paths
+  *    are asserted equal in CanonicalizeSpec.
   */
 object Canonicalize {
+
+  val DefaultSmallCutoff = 100000L
 
   /** @param edges (src, dst) undirected string edges
     * @return (id, canonicalId) for every vertex appearing in edges
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      smallCutoff: Long = DefaultSmallCutoff): DataFrame = {
     val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val result =
+      if (nEdges <= smallCutoff) driverUnionFind(spark, e)
+      else distributedLabelProp(e, maxIter)
+    e.unpersist()
+    result
+  }
 
-    val sym = edges.select(col("src"), col("dst"))
+  /** Driver-side union-find with path compression; deterministic
+    * min-string canonical ids. Bounded by smallCutoff edges.
+    */
+  private def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = edges.as[(String, String)].collect()
+    val parent = mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by min string => canonical id is the component min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+    spark.createDataset(rows).toDF("id", "canonicalId")
+  }
+
+  /** Large-graph path: label propagation to the component min. */
+  private def distributedLabelProp(edges: DataFrame, maxIter: Int): DataFrame = {
+    val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

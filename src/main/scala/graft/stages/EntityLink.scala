@@ -88,6 +88,8 @@ object EntityLink {
       .flatMap { case (kind, name) =>
         bandKeys(name).map { case (b, k) => (kind, name, b, k) }
       }.toDF("kind", "name", "band", "bkey")
+      // consumed twice (both sides of the self-join) — don't re-minhash
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val l = banded.as("l")
     val r = banded.as("r")

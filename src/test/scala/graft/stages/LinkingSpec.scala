@@ -47,6 +47,12 @@ class LinkingSpec extends SparkSpec {
     val cc1 = Canonicalize.connectedComponents(edges.repartition(7))
       .as[(String, String)].collect().toMap
     assert(cc1 == cc) // partitioning-invariant (SURVEY.md §5.2.4)
+
+    // the distributed label-propagation path must agree with the
+    // driver union-find fast path (smallCutoff = 0 forces it)
+    val ccDist = Canonicalize.connectedComponents(edges, smallCutoff = 0)
+      .as[(String, String)].collect().toMap
+    assert(ccDist == cc)
   }
 
   test("dictionary linking folds Westlake variants via canonical alias") {
