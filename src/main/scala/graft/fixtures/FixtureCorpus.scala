@@ -35,13 +35,20 @@ object FixtureCorpus {
     finally in.close()
   }
 
-  def sha256Hex(s: String): String =
-    MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  // MessageDigest.getInstance contends on the JCA provider map across
+  // executor threads — keep one digest per thread for the hot path.
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+
+  def sha256Hex(s: String): String = {
+    val md = digests.get()
+    md.reset()
+    md.digest(s.getBytes(StandardCharsets.UTF_8)).map(b => f"$b%02x").mkString
+  }
 
   private def commitOf(repo: String, path: String): String =
-    sha256Hex(s"$repo/$path").take(12)
+    // synthetic commit id — cheap non-crypto hash is enough
+    f"${scala.util.hashing.MurmurHash3.stringHash(s"$repo/$path", 7)}%08x${s"$repo/$path".length}%04x"
 
   /** The five base rows — one per fixture page. Paths embed the fixture
     * id so extraction provenance survives replication.

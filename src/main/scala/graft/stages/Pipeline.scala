@@ -37,15 +37,17 @@ object Pipeline {
     ).toDF("kind", "alias", "canonical")
   }
 
+  def mentionsOfRecord(r: PaperRecord): Seq[Mention] = {
+    val inst = r.authors.flatMap(_.affiliations).distinct
+      .map(a => Mention(r.docId, "inst", graft.rules.AffiliationNormalizer.institution(graft.rules.Text.cleanWs(a))))
+    val auth = r.authors.map(a => Mention(r.docId, "author", graft.rules.Text.cleanWs(a.name)))
+    val venue = r.journalName.map(j => Mention(r.docId, "venue", graft.rules.Text.cleanWs(j))).toSeq
+    inst ++ auth ++ venue
+  }
+
   def mentionsOf(records: Dataset[PaperRecord]): Dataset[Mention] = {
     import records.sparkSession.implicits._
-    records.flatMap { r =>
-      val inst = r.authors.flatMap(_.affiliations).distinct
-        .map(a => Mention(r.docId, "inst", graft.rules.AffiliationNormalizer.institution(graft.rules.Text.cleanWs(a))))
-      val auth = r.authors.map(a => Mention(r.docId, "author", graft.rules.Text.cleanWs(a.name)))
-      val venue = r.journalName.map(j => Mention(r.docId, "venue", graft.rules.Text.cleanWs(j))).toSeq
-      inst ++ auth ++ venue
-    }
+    records.flatMap(mentionsOfRecord _)
   }
 
   /** Entity resolution over mention names: exact dictionary edges +
@@ -82,11 +84,10 @@ object Pipeline {
     * part of the whole pipeline.
     */
   def run(spark: SparkSession, files: Dataset[SourceFile]): (Dataset[Triple], DataFrame) = {
-    val records = MentionDetect.records(files)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val triples = MentionDetect.triples(records)
-    val ment = mentionsOf(records)
-    val ents = entities(spark, ment)
+    // fused passes: parsing twice is ~20x cheaper than round-tripping the
+    // nested PaperRecord through its encoder (see MentionDetect.triplesDirect)
+    val triples = MentionDetect.triplesDirect(files)
+    val ents = entities(spark, MentionDetect.mentionsDirect(files))
     (triples, ents)
   }
 
