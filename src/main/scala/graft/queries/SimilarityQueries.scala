@@ -83,18 +83,23 @@ object SimilarityQueries {
   }
 
   /** SimHash near-dups: fingerprint -> 4x16-bit bands -> bucket self-join
-    * -> Hamming distance <= 6 verified (pigeonhole: any pair within 6
-    * bits shares at least one intact 16-bit band... for <= 3 flips; the
-    * band join is the candidate filter, Hamming check is authoritative).
+    * -> Hamming distance <= 6 verified (the band join is the candidate
+    * filter, the Hamming check is authoritative).
+    *
+    * Fingerprint is the native Catalyst expression
+    * [[graft.functions.SimHash64]] and banding is pure Column bit math,
+    * so the whole pre-join side stays inside WholeStageCodegen (no typed
+    * map, no object SerDe).
     */
   private val simhashDedup: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
-    val fp = docs(dir).select("doc_id", "text").as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }.toDF("doc_id", "fp")
-    val banded = fp.as[(Long, Long)].flatMap { case (id, f) =>
-      (0 until 4).map(b => (id, f, b, (f >>> (b * 16)) & 0xffffL))
-    }.toDF("doc_id", "fp", "band", "bkey")
+    val fp = docs(dir).select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(col("text")).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     banded.as("l").join(banded.as("r"),
         $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b"),
