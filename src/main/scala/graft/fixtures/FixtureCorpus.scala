@@ -63,19 +63,32 @@ object FixtureCorpus {
     SourceFile(repo, path, commitOf(repo, path), f.lang, resourceText(f.resource))
   }
 
-  /** Replicated corpus of `n` rows. Row i is base fixture (i mod 5) under
-    * a varied (repo, path, commit); repo assignment is skewed — ~30% of
-    * rows land in one hot repo ("journals/aps-hot"), the rest spread over
-    * 20 cold repos.
+  /** Skew shape (FIXTURES.md §6): ~30% of rows land in one hot repo,
+    * the rest spread over 20 cold repos; every 1000th row is a "giant
+    * file" — the page body with 50 copies of itself appended (~1-2 MB),
+    * the single-hot-key skew the north rule names. The slicer stops at
+    * the first abstract, so a giant row emits the same triples as its
+    * base page (asserted in GoldenTripleSpec).
     */
+  val GiantEvery = 1000
+  val GiantFactor = 50
+
+  private def rowAt(base: IndexedSeq[SourceFile], i: Int): SourceFile = {
+    // Giant rows are always the raw APS page: the slicer's title..abstract
+    // window makes the 50x-appended body emit exactly the base triples.
+    val giant = i > 0 && i % GiantEvery == 0
+    val b = if (giant) base.head else base(i % base.length)
+    val repo = if (i % 10 < 3) "journals/hot-repo" else s"repo-${i % 20}"
+    val path = s"${b.path.stripSuffix(".page")}_rep$i.page"
+    val content =
+      if (giant) b.content + ("\n" + b.content) * GiantFactor
+      else b.content
+    SourceFile(repo, path, commitOf(repo, path), b.lang, content)
+  }
+
   def corpusRows(n: Int): Iterator[SourceFile] = {
     val base = baseRows.toIndexedSeq
-    Iterator.range(0, n).map { i =>
-      val b = base(i % base.length)
-      val repo = if (i % 10 < 3) "journals/hot-repo" else s"repo-${i % 20}"
-      val path = s"${b.path.stripSuffix(".page")}_rep$i.page"
-      SourceFile(repo, path, commitOf(repo, path), b.lang, b.content)
-    }
+    Iterator.range(0, n).map(rowAt(base, _))
   }
 
   def corpus(spark: SparkSession, n: Int, partitions: Int): Dataset[SourceFile] = {
@@ -84,23 +97,16 @@ object FixtureCorpus {
     // and materialize row i on its own partition — no driver-side corpus.
     val base = baseRows.toIndexedSeq
     spark.range(0, n.toLong, 1L, partitions).mapPartitions { it =>
-      it.map { i0 =>
-        val i = i0.toInt
-        val b = base(i % base.length)
-        val repo = if (i % 10 < 3) "journals/hot-repo" else s"repo-${i % 20}"
-        val path = s"${b.path.stripSuffix(".page")}_rep$i.page"
-        SourceFile(repo, path, commitOf(repo, path), b.lang, b.content)
-      }
+      it.map(i => rowAt(base, i.toInt))
     }
   }
 
   /** (path -> sha256) manifest for the ingest invariant at corpus size n. */
   def manifest(n: Int): Map[String, String] = {
-    val hashes = baseRows.map(b => b.path -> sha256Hex(b.content)).toMap
     val base = baseRows.toIndexedSeq
     Iterator.range(0, n).map { i =>
-      val b = base(i % base.length)
-      s"${b.path.stripSuffix(".page")}_rep$i.page" -> hashes(b.path)
+      val r = rowAt(base, i)
+      r.path -> sha256Hex(r.content)
     }.toMap
   }
 }

@@ -126,8 +126,24 @@ object KgQueries {
       .orderBy("author_count")
   }
 
+  /** E2 quarantine side-output: rows with unknown shape tags or parse
+    * failures land in an error table instead of failing the job
+    * (aps_extractor.py:401-418 semantics). Exercised with deliberately
+    * bad rows mixed into the corpus.
+    */
+  private val kgQuarantine: Q = (s, _) => {
+    import s.implicits._
+    val good = FixtureCorpus.corpus(s, 20, 4)
+    val bad = Seq(
+      graft.model.SourceFile("repo-x", "mystery.bin", "c0ffee", "pdf-scan", "binaryish"),
+      graft.model.SourceFile("repo-x", "empty.md", "c0ffee", "aps-md", ""))
+      .toDS()
+    MentionDetect.quarantine(good.union(bad)).toDF().orderBy("path")
+  }
+
   val all: Map[String, Q] = Map(
     "kg01_triples" -> kgTriples,
+    "kg09_quarantine" -> kgQuarantine,
     "kg02_ingest_sha" -> kgIngest,
     "kg03_entities" -> kgEntities,
     "kg04_wide_report" -> kgWideReport,

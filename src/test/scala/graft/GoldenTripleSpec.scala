@@ -73,4 +73,19 @@ class GoldenTripleSpec extends SparkSpec {
     val manifest = FixtureCorpus.manifest(n).toSeq.toDF("path", "expected_sha")
     assert(graft.stages.Ingest.manifestViolations(files, manifest) == 0)
   }
+
+  test("giant skewed page emits exactly the base page's triples") {
+    import spark.implicits._
+    // row 2000 is a giant (50x-appended) copy of the raw pyzr-jmvw page
+    val n = 2001
+    val rows = FixtureCorpus.corpusRows(n).toSeq
+    val giant = rows(FixtureCorpus.GiantEvery * 2)
+    assert(giant.content.length > rows.head.content.length * FixtureCorpus.GiantFactor)
+    def tset(f: graft.model.SourceFile) = MentionDetect.triplesDirect(
+      spark.createDataset(Seq(f))(org.apache.spark.sql.Encoders.product[graft.model.SourceFile]))
+      .collect().map(t => (t.subj, t.pred, t.obj)).toSet
+    val giantTriples = tset(giant)
+    val baseTriples = tset(rows.head)
+    assert(giantTriples.nonEmpty && giantTriples == baseTriples)
+  }
 }
