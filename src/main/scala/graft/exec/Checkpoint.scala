@@ -49,8 +49,16 @@ final case class Checkpoint(root: String, runId: String) {
       (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
         .parquet(s"${stageDir(stageName)}/data")
       val wallMs = (System.nanoTime() - t0) / 1000000
+      // North-rule lineage shape: when the stage data carries provenance
+      // columns, record the per-partition input files and content hashes
+      // alongside the row count.
+      val provenanceAggs =
+        (if (df.columns.contains("path"))
+          Seq(collect_list(col("path")).as("inputFiles")) else Nil) ++
+        (if (df.columns.contains("sha256"))
+          Seq(collect_list(col("sha256")).as("sha256s")) else Nil)
       val lineage = withPart.groupBy(col("__pid").as("partitionId"))
-        .agg(count(lit(1)).as("rowCount"))
+        .agg(count(lit(1)).as("rowCount"), provenanceAggs: _*)
         .withColumn("runId", lit(runId))
         .withColumn("stage", lit(stageName))
         .withColumn("snapshotId", lit(snapshotId))

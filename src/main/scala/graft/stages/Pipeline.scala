@@ -98,6 +98,12 @@ object Pipeline {
   def runCheckpointed(spark: SparkSession, files: Dataset[SourceFile],
       ckpt: Checkpoint, snapshotId: String): (DataFrame, DataFrame) = {
     import spark.implicits._
+    // Ingest metadata stage: content sha256 invariant surface + the
+    // north-rule lineage shape (per-partition inputFiles + sha256s).
+    // Metadata-only — content never reaches this table.
+    ckpt.stage(spark, "ingest", snapshotId) {
+      Ingest.withSha(files).select("repo", "path", "commit", "lang", "sha256")
+    }
     val recordsDf = ckpt.stage(spark, "records", snapshotId) {
       MentionDetect.records(files).toDF()
     }

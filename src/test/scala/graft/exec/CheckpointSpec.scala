@@ -31,6 +31,15 @@ class CheckpointSpec extends SparkSpec {
     val sum = lineage.agg(org.apache.spark.sql.functions.sum("rowCount")).head.getLong(0)
     assert(sum == t1Count)
 
+    // Ingest lineage carries the north-rule provenance shape:
+    // (partitionId, inputFiles, sha256s, rowCount).
+    val ingestLineage = ckpt.lineage(spark, "ingest")
+    assert(Seq("partitionId", "rowCount", "inputFiles", "sha256s")
+      .forall(ingestLineage.columns.contains))
+    val nFiles = ingestLineage
+      .selectExpr("sum(size(inputFiles))").head.getLong(0)
+    assert(nFiles == 20)
+
     // Simulated resume after kill: second run must NOT recompute.
     val ckpt2 = Checkpoint(root, runId = "run-2")
     val (t2, _) = Pipeline.runCheckpointed(spark, files, ckpt2, snap)

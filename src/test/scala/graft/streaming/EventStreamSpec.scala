@@ -29,4 +29,22 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streamed page extraction equals the batch triple set") {
+    val dir = Files.createTempDirectory("graft-pages").toString
+    val files = graft.fixtures.FixtureCorpus.corpus(spark, 20, 4)
+    files.write.mode("overwrite").parquet(dir)
+
+    val q = PageStream.startMemoryQuery(spark, dir, "page_triples")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM page_triples")
+        .orderBy("docId", "subj", "pred", "obj").collect().toSeq
+      val batch = graft.stages.MentionDetect.triplesDirect(
+        spark.read.parquet(dir).as[graft.model.SourceFile](
+          org.apache.spark.sql.Encoders.product[graft.model.SourceFile])).toDF()
+        .orderBy("docId", "subj", "pred", "obj").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
