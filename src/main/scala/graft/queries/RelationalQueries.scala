@@ -189,6 +189,63 @@ object RelationalQueries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** CUBE grouping sets over status × priority (all 4 combinations). */
+  private val q14: Q = (s, dir) => {
+    implicit val sp = s
+    t(dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** As-of join: for each click event, the latest strictly-earlier
+    * purchase by the same user. Implemented the scale-safe way — union
+    * both sides tagged, one window over (user_id, ts) — a single shuffle
+    * and no row explosion, vs. the naive join+filter+argmax which
+    * materializes every (click × earlier purchase) pair. At equal ts the
+    * click sorts before the purchase (kind asc), giving strict `<`
+    * semantics; DuckDB's native ASOF JOIN is the oracle.
+    */
+  private val q15: Q = (s, dir) => {
+    implicit val sp = s
+    val ev = t(dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"),
+        lit(null).cast("double").as("p_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"),
+        col("value").as("p_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("purchase_us",
+        last(when(col("kind") === 1, unix_micros(col("ts").cast("timestamp"))), ignoreNulls = true).over(w))
+      .withColumn("purchase_value",
+        last(when(col("kind") === 1, col("p_value")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0 && col("purchase_us").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("click_us"),
+        col("purchase_us"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Skew-safe salted join (exec.SkewSafeJoin) under the value oracle:
+    * events (potentially hot user keys) ⋈ customer with the probe side
+    * salted and the build side replicated across the salt domain — the
+    * result must equal the plain equi join bit-for-bit.
+    */
+  private val q16: Q = (s, dir) => {
+    implicit val sp = s
+    val e = t(dir, "events").select(col("user_id"), col("value"))
+    val c = t(dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.exec.SkewSafeJoin.join(e, c, "user_id", saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01,
     "q02_revenue_by_nation" -> q02,
@@ -202,7 +259,10 @@ object RelationalQueries {
     "q10_set_ops" -> q10,
     "q11_events_json_hourly" -> q11,
     "q12_event_gaps" -> q12,
-    "q13_rollup" -> q13)
+    "q13_rollup" -> q13,
+    "q14_cube" -> q14,
+    "q15_asof_join" -> q15,
+    "q16_salted_join" -> q16)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -278,5 +338,25 @@ object RelationalQueries {
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q15_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+        |  p.value AS purchase_value
+        |FROM clicks c ASOF JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts > p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q16_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

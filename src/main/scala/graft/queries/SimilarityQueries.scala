@@ -237,13 +237,57 @@ object SimilarityQueries {
       .orderBy("a", "b")
   }
 
+  /** IVF-Flat ANN (the other scale path besides hyperplane LSH): a tiny
+    * coarse quantizer (16 centroids — here the first 16 vectors; a real
+    * index would k-means them, which changes recall, not the dataflow)
+    * partitions the corpus into inverted lists; probes scan only their
+    * nprobe=2 nearest lists. The quantizer is driver-collected and
+    * closure-broadcast — at 100 TB the centroid set stays tiny (k ~ sqrt N)
+    * while the corpus-side assignment remains a shuffle-free single pass;
+    * the probe⋈list join broadcasts the probe side. s03 brute force is
+    * the exact-answer reference (recall asserted in QueriesSpec).
+    */
+  private val annIvf: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val nProbe = 2
+    val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
+    val centroids: Array[(Int, Array[Double])] =
+      e.filter(_._1 < 16).collect().sortBy(_._1)
+        .map { case (id, v) => (id.toInt, v.map(_.toDouble).toArray) }
+    def l2(v: Seq[Float], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < c.length && i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    def nearest(v: Seq[Float], n: Int): Seq[Int] =
+      centroids.map { case (cid, c) => (l2(v, c), cid) }.sortBy(_._1).take(n).map(_._2).toSeq
+    val assigned = e.map { case (id, v) => (id, v, nearest(v, 1).head) }
+      .toDF("vec_id", "embedding", "cid")
+    val probes = e.filter(_._1 < 10)
+      .flatMap { case (id, v) => nearest(v, nProbe).map(c => (id, v, c)) }
+      .toDF("probe_id", "probe", "cid")
+    val pe = col("probe").cast("array<double>")
+    val ee = col("embedding").cast("array<double>")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_raw", dot(pe, ee) / (sqrt(dot(pe, pe)) * sqrt(dot(ee, ee))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "s01_minhash_neardup" -> minhashDedup,
     "s02_simhash_neardup" -> simhashDedup,
     "s03_ann_cosine_topk" -> annBrute,
     "s04_ann_lsh_topk" -> annLsh,
     "s05_multimodal_decode" -> multimodalStub,
-    "s06_embedding_neardup" -> embNeardup)
+    "s06_embedding_neardup" -> embNeardup,
+    "s07_ann_ivf_topk" -> annIvf)
 
   val oracle: Map[String, String] = Map(
     "s03_ann_cosine_topk" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over the `documents` table
@@ -140,6 +141,60 @@ object TextQueries {
       .orderBy("keeper_doc_id")
   }
 
+  /** Repetition ratio (Gopher-style quality rule): fraction of word
+    * occurrences that are repeats of an already-seen word — high values
+    * flag boilerplate/spam for pretraining filters. Pure column math,
+    * single scan, no shuffle before the final sort.
+    */
+  private val repetitionRatio: Q = (s, dir) => {
+    implicit val sp = s
+    val words = split(trim(col("text")), "\\s+")
+    docs(dir)
+      .withColumn("n_words", size(words))
+      .withColumn("rep_ratio",
+        floor((lit(1.0) - size(array_distinct(words)).cast("double") / size(words)) * 10000 + 0.5) / 10000)
+      .select("doc_id", "n_words", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split: first hex char of md5(doc_id)
+    * partitions 75/12.5/12.5 — the standard content-hash splitter that is
+    * stable under repartitioning, re-runs, and corpus growth (a doc never
+    * migrates between splits). Engines agree because md5 is md5.
+    */
+  private val trainSplit: Q = (s, dir) => {
+    implicit val sp = s
+    val c1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs(dir)
+      .withColumn("split",
+        when(c1 <= "b", "train").when(c1 <= "d", "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** Pairwise word-set Jaccard between consecutive docs of one source —
+    * the n-gram-Jaccard verification operator as a first-class query.
+    * Pairing via lead() over (source, doc_id) is one shuffle and linear
+    * output (vs. a quadratic self-join); the same verified-Jaccard math
+    * backs the s01 MinHash pipeline's post-filter.
+    */
+  private val wordJaccard: Q = (s, dir) => {
+    implicit val sp = s
+    val wset = array_distinct(split(lower(trim(col("text"))), "\\s+"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(dir)
+      .withColumn("ws", wset)
+      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("next_ws", lead(col("ws"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .withColumn("jaccard",
+        floor(size(array_intersect(col("ws"), col("next_ws"))).cast("double")
+          / size(array_union(col("ws"), col("next_ws"))) * 10000 + 0.5) / 10000)
+      .select("doc_id", "next_id", "jaccard")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "t01_dedup_exact" -> dedupExact,
     "t02_token_count" -> tokenCount,
@@ -147,7 +202,10 @@ object TextQueries {
     "t04_lang_id" -> langId,
     "t05_extract_regex" -> extractRegex,
     "t06_bpe_tokens" -> bpeTokens,
-    "t07_fingerprint" -> fingerprint)
+    "t07_fingerprint" -> fingerprint,
+    "t08_repetition_ratio" -> repetitionRatio,
+    "t09_train_split" -> trainSplit,
+    "t10_word_jaccard" -> wordJaccard)
 
   val oracle: Map[String, String] = Map(
     "t01_dedup_exact" ->
@@ -204,5 +262,29 @@ object TextQueries {
         |FROM documents
         |WHERE coalesce(regexp_extract(text, '(spark\w*)', 1), '') <> ''
         |  OR len(regexp_split_to_array(' ' || text || ' ', '\sscan\s')) - 1 > 0
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "t08_repetition_ratio" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |  floor((1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+'))) * 10000 + 0.5) / 10000 AS rep_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t09_train_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t10_word_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS ws,
+        |    lead(doc_id) OVER win AS next_id,
+        |    lead(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) OVER win AS next_ws
+        |  FROM documents
+        |  WINDOW win AS (PARTITION BY source ORDER BY doc_id))
+        |SELECT doc_id, next_id,
+        |  floor(CAST(len(list_intersect(ws, next_ws)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(ws, next_ws))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM w WHERE next_id IS NOT NULL ORDER BY doc_id""".stripMargin)
 }

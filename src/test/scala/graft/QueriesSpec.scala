@@ -61,6 +61,77 @@ class QueriesSpec extends SparkSpec {
     assert(total == nDocs)
   }
 
+  test("s07 IVF ANN: exact cosines, measurable recall vs s03 brute force") {
+    val brute = SparkEntry.queries("s03_ann_cosine_topk")(spark, sf)
+      .select("probe_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SparkEntry.queries("s07_ann_ivf_topk")(spark, sf)
+      .select("probe_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = ivf.keySet.intersect(brute.keySet)
+    // cosine math is shared -> identical values where the answers overlap
+    common.foreach(k => assert(ivf(k) == brute(k), s"cosine mismatch at $k"))
+    val recall = common.size.toDouble / brute.size
+    info(f"IVF recall@5 vs brute force: $recall%.3f (nprobe=2 of 16 lists)")
+    assert(recall > 0.10, f"recall $recall%.3f")
+    // every probe still returns a full (or near-full) top-5 from its lists
+    assert(ivf.size >= 45, s"ivf rows: ${ivf.size}")
+  }
+
+  test("q15 as-of join matches the naive join+argmax semantics") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("value"))
+    val naive = clicks.join(purch, col("cu") === col("pu") && col("pts") < col("cts"))
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("pts"), col("value"))).as("m"))
+      .select(col("event_id"), unix_micros(col("m.pts").cast("timestamp")).as("purchase_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asof = SparkEntry.queries("q15_asof_join")(spark, sf)
+      .select("event_id", "purchase_us", "click_us").collect()
+    assert(asof.nonEmpty)
+    asof.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "as-of must be strictly earlier")
+      assert(naive(r.getLong(0)) == r.getLong(1), s"event ${r.getLong(0)}")
+    }
+    assert(asof.length == naive.size, "row sets differ")
+  }
+
+  test("q15 as-of join plan: window-based, no join operator") {
+    val plan = SparkEntry.queries("q15_asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q16 salted join equals the plain equi join") {
+    val salted = SparkEntry.queries("q16_salted_join")(spark, sf).collect()
+    val e = spark.read.parquet(s"$sf/events.parquet").select(col("user_id"), col("value"))
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = e.join(c, "user_id")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("c_mktsegment").collect()
+    assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+
+  test("t09 split is a deterministic partition of the corpus") {
+    val rows = SparkEntry.queries("t09_train_split")(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(bySplit.values.sum == nDocs)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // train dominates (12/16 of the hash space)
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // determinism: a second run lands every doc in the same split
+    val again = SparkEntry.queries("t09_train_split")(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("kg04 wide report reproduces the corresponding-author ' *' convention") {
     val rows = SparkEntry.queries("kg04_wide_report")(spark, sf)
       .filter(col("doc_id") === "https://www.nature.com/articles/s41567-025-02944-3")
