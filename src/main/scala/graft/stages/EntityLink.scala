@@ -109,10 +109,14 @@ object EntityLink {
     * canonical): broadcast hash join, no shuffle of the mention side.
     */
   def dictEdges(names: DataFrame, dict: DataFrame): DataFrame = {
-    names.select("kind", "name").distinct()
-      .join(broadcast(dict), Seq("kind"), "inner")
-      .filter(col("name") === col("alias") && col("name") =!= col("canonical"))
-      .select(col("kind"), col("name").as("src"), col("canonical").as("dst"))
+    // (kind, alias) is the hash-join key — joining on kind alone and
+    // filtering afterwards would probe every dictionary entry of that
+    // kind per mention (quadratic once the dictionary grows).
+    names.select("kind", "name").distinct().as("n")
+      .join(broadcast(dict.as("d")),
+        col("n.kind") === col("d.kind") && col("n.name") === col("d.alias"))
+      .filter(col("n.name") =!= col("d.canonical"))
+      .select(col("n.kind").as("kind"), col("n.name").as("src"), col("d.canonical").as("dst"))
   }
 
   /** Mentions -> distinct (kind, name) frame. */
