@@ -246,6 +246,16 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Gap-based sessionization, batch form (6 h gap) — the DuckDB-checked
+    * twin of the flatMapGroupsWithState streaming operator
+    * (graft.streaming.Sessionize; parity in SessionizeSpec).
+    */
+  private val q17: Q = (s, dir) => {
+    implicit val sp = s
+    graft.streaming.Sessionize.sessionizeBatch(t(dir, "events"), 6L * 3600 * 1000000)
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01,
     "q02_revenue_by_nation" -> q02,
@@ -262,7 +272,8 @@ object RelationalQueries {
     "q13_rollup" -> q13,
     "q14_cube" -> q14,
     "q15_asof_join" -> q15,
-    "q16_salted_join" -> q16)
+    "q16_salted_join" -> q16,
+    "q17_sessionize" -> q17)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -358,5 +369,22 @@ object RelationalQueries {
     "q16_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER win IS NULL OR us - lag(us) OVER win > 21600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, value)),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+        |  count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Custom-state streaming (flatMapGroupsWithState, event-time timeout)
+  * against the batch lag/cumsum plan on the same input.
+  */
+class SessionizeSpec extends SparkSpec {
+
+  private val GapUs = 6L * 3600 * 1000000 // 6 hours
+
+  test("streaming sessionization equals the batch plan after flush") {
+    val dir = Files.createTempDirectory("graft-sessions").toString
+    val real = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    real.coalesce(1).write.mode("append").parquet(dir)
+    // sentinel batch far in the future: advances the watermark past every
+    // open session's (end + gap) so event-time timeouts flush them all
+    val maxTs = real.agg(max("ts")).head.getTimestamp(0)
+    real.limit(1)
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
+      .withColumn("user_id", lit(-1L))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val src = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Sessionize.sessionizeStream(src, GapUs).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sessions WHERE user_id >= 0")
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      val batch = Sessionize.sessionizeBatch(real, GapUs)
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString) == batch.map(_.toString))
+      // multiple sessions per user actually exercised (gap < span)
+      val users = streamed.map(_.getLong(0)).distinct
+      assert(streamed.size > users.size, "gap too large: one session per user")
+    } finally q.stop()
+  }
+
+  test("state is bounded: one Open struct per active user") {
+    // structural property of the operator: the state value is a fixed-size
+    // struct, independent of how many events the session absorbed
+    val fields = classOf[Sessionize.Open].getDeclaredFields.map(_.getType.getSimpleName).toSet
+    assert(fields.subsetOf(Set("long", "double")), fields)
+  }
+}
