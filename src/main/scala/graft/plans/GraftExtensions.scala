@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.functions.{RegexpCountFast, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal, RegExpExtractAll, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: `size(regexp_extract_all(s, p, 0))` — the expansion
+  * Spark's own `regexp_count` lowers to — becomes the allocation-free
+  * native counter [[graft.functions.RegexpCountFast]].
+  *
+  * Guarded on legacySizeOfNull = false (the Spark 3+/4 default): with the
+  * legacy flag, `size(null)` is -1 while the native counter is
+  * null-intolerant, so the shapes differ and the rewrite is skipped.
+  */
+object CollapseRegexCount extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Size(RegExpExtractAll(s, p, Literal(0, IntegerType)), false) =>
+      RegexpCountFast(s, p)
+  }
+}
+
+/** SparkSessionExtensions entry point (SURVEY.md §7.3 extension ladder):
+  * injects the optimizer rule above and registers the engine's native
+  * expressions as SQL functions. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
+  * the Verify and Bench mains do.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseRegexCount)
+    ext.injectFunction((new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
+    ext.injectFunction((new FunctionIdentifier("regexp_count_fast"),
+      new ExpressionInfo(classOf[RegexpCountFast].getName, "regexp_count_fast"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RegexpCountFast(exprs.head, exprs(1))))
+  }
+}
