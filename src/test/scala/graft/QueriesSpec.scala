@@ -78,6 +78,20 @@ class QueriesSpec extends SparkSpec {
     assert(ivf.size >= 45, s"ivf rows: ${ivf.size}")
   }
 
+  test("s04 LSH ANN: exact cosines on overlap, measurable recall vs s03") {
+    val brute = SparkEntry.queries("s03_ann_cosine_topk")(spark, sf)
+      .select("probe_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("s04_ann_lsh_topk")(spark, sf)
+      .select("probe_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = lsh.keySet.intersect(brute.keySet)
+    common.foreach(k => assert(lsh(k) == brute(k), s"cosine mismatch at $k"))
+    val recall = common.size.toDouble / brute.size
+    info(f"LSH recall@5 vs brute force: $recall%.3f (12-bit buckets)")
+    assert(recall > 0.0, "LSH found none of the true top-5")
+  }
+
   test("q15 as-of join matches the naive join+argmax semantics") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val clicks = ev.filter(col("event_type") === "click")
