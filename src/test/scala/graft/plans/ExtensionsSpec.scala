@@ -1,15 +1,30 @@
 package graft.plans
 
-import graft.SparkSpec
+import graft.{PropChecks, SparkSpec}
 import graft.functions.RegexpCountFast
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
 
 /** RegexpCountFast expression semantics + the CollapseRegexCount
   * optimizer rule (injected via spark.sql.extensions in the Verify/Bench
   * mains; here exercised through experimental.extraOptimizations on the
   * shared test session).
   */
-class ExtensionsSpec extends SparkSpec {
+class ExtensionsSpec extends SparkSpec with PropChecks {
+
+  test("regexp_count_fast equals the java-regex reference on random strings") {
+    val expr = RegexpCountFast(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      org.apache.spark.sql.catalyst.expressions.Literal("y"))
+    // non-zero-width patterns only: find()-loop semantics on both sides
+    val pats = Seq("[0-9]+", "[a-z]{2}", "\\s+", "ab", "[^A-Za-z0-9\\s]")
+    checkProp(forAll(Gen.asciiPrintableStr, Gen.oneOf(pats)) { (s, p) =>
+      expr.compute(UTF8String.fromString(s), UTF8String.fromString(p)) ==
+        p.r.findAllMatchIn(s).size
+    })
+  }
 
   test("regexp_count_fast matches size(regexp_extract_all(_, _, 0))") {
     import spark.implicits._
