@@ -78,12 +78,15 @@ object Bench {
     val kgSec = samples.map(_._2).min
     val tps = nTriples / kgSec
 
-    // Linking + canonicalization over the distinct-name space.
-    val (_, linkSec) = time {
-      val ment = MentionDetect.mentionsDirect(
-        FixtureCorpus.corpus(spark, math.min(kgN, 2000), cpus.toInt * 2))
-      Pipeline.entities(spark, ment).count()
-    }
+    // Linking + canonicalization over the distinct-name space (best of 2:
+    // the first run pays the plan's one-time codegen like everything else).
+    val linkSec = (1 to 2).map { _ =>
+      time {
+        val ment = MentionDetect.mentionsDirect(
+          FixtureCorpus.corpus(spark, math.min(kgN, 2000), cpus.toInt * 2))
+        Pipeline.entities(spark, ment).count()
+      }._2
+    }.min
 
     val qs = (results ++ Seq("kg_extract_pipeline" -> kgSec, "kg_entity_link" -> linkSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

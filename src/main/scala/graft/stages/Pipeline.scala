@@ -54,8 +54,14 @@ object Pipeline {
     * fuzzy LSH edges -> connected components -> canonical map
     * (name -> canonicalId = lexicographic min of its component).
     */
-  def canonicalMap(spark: SparkSession, mentions: Dataset[Mention], tau: Double = 0.55): DataFrame = {
-    val names = EntityLink.namesOf(mentions)
+  def canonicalMap(spark: SparkSession, mentions: Dataset[Mention], tau: Double = 0.55): DataFrame =
+    canonicalMapFromNames(spark, EntityLink.namesOf(mentions), tau)
+
+  /** Same, over an already-distinct (kind, name) frame — callers that
+    * also need the name frame persist it once and pass it in, so the
+    * mention stream (and the page parse feeding it) evaluates once.
+    */
+  def canonicalMapFromNames(spark: SparkSession, names: DataFrame, tau: Double = 0.55): DataFrame = {
     val exact = EntityLink.dictEdges(names, canonicalDict(spark))
     val fuzzy = EntityLink.fuzzyEdges(names, tau).select("kind", "src", "dst")
     val edges = exact.union(fuzzy)
@@ -68,11 +74,16 @@ object Pipeline {
   }
 
   /** Entity table: every distinct mention name, mapped to its canonical
-    * id (singleton components keep their own name).
+    * id (singleton components keep their own name). The distinct-name
+    * frame is persisted: it feeds the dictionary join, the LSH banding,
+    * and the final left join — without the persist each of those pulls
+    * would re-parse every page body upstream.
     */
   def entities(spark: SparkSession, mentions: Dataset[Mention]): DataFrame = {
-    val cmap = canonicalMap(spark, mentions)
-    EntityLink.namesOf(mentions)
+    val names = EntityLink.namesOf(mentions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cmap = canonicalMapFromNames(spark, names)
+    names
       .join(cmap, Seq("kind", "name"), "left")
       .select(col("kind"), col("name"),
         coalesce(col("canonicalName"), col("name")).as("entityId"))
