@@ -122,7 +122,7 @@ object Pipeline {
       implicit val enc = org.apache.spark.sql.Encoders.product[Triple]
       recordsDf.as[PaperRecord].flatMap(TripleEmit.emit).toDF()
     }
-    val entitiesDf = ckpt.stage(spark, "entities", snapshotId) {
+    val entitiesDf = ckpt.stage(spark, "entities", snapshotId, partitionByCols = Seq("kind")) {
       entities(spark, mentionsOf(recordsDf.as[PaperRecord]))
     }
     (triplesDf, entitiesDf)
