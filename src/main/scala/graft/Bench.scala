@@ -64,8 +64,10 @@ object Bench {
       val secs = (1 to 3).map { _ =>
         try time(qmap(name)(spark, sfDir).count())._2
         catch { case _: Throwable => -1.0 }
-      }
-      name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
+      }.filter(_ >= 0)
+      // a transient failure in one rep doesn't discard the clean samples;
+      // -1 only when every rep failed
+      name -> (if (secs.isEmpty) -1.0 else secs.min)
     }
 
     // KG pipeline: extraction throughput (mapPartitions, shuffle-free) —

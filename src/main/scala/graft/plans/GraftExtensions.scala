@@ -32,13 +32,20 @@ object CollapseRegexCount extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseRegexCount)
+    def arity(name: String, n: Int, exprs: Seq[_]): Unit =
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
     ext.injectFunction((new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("simhash64", 1, exprs)
+        SimHash64(exprs.head)
+      }))
     ext.injectFunction((new FunctionIdentifier("regexp_count_fast"),
       new ExpressionInfo(classOf[RegexpCountFast].getName, "regexp_count_fast"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RegexpCountFast(exprs.head, exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("regexp_count_fast", 2, exprs)
+        RegexpCountFast(exprs.head, exprs(1))
+      }))
   }
 }

@@ -208,13 +208,20 @@ object RelationalQueries {
     */
   private val q15: Q = (s, dir) => {
     implicit val sp = s
-    val ev = t(dir, "events")
+    val ev = t(dir, "events").filter(col("user_id").isNotNull)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"),
         lit(null).cast("double").as("p_value"))
+    // one purchase row per (user, ts): equal-timestamp purchases are an
+    // unspecified-tie case in ASOF joins (engines disagree on the winner),
+    // so both sides of the oracle resolve ties to max(value) up front;
+    // NULL user keys are excluded on both sides (SQL joins reject
+    // NULL = NULL, a window PARTITION BY groups NULLs together)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"),
-        col("value").as("p_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(1).as("kind"), col("p_value"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -357,9 +364,12 @@ object RelationalQueries {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q15_asof_join" ->
       """WITH clicks AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click' AND user_id IS NOT NULL),
         |purch AS (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY user_id, ts)
         |SELECT c.event_id, c.user_id,
         |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
         |  p.value AS purchase_value

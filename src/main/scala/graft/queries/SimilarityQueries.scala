@@ -255,6 +255,8 @@ object SimilarityQueries {
     val centroids: Array[(Int, Array[Double])] =
       e.filter(_._1 < 16).collect().sortBy(_._1)
         .map { case (id, v) => (id.toInt, v.map(_.toDouble).toArray) }
+    require(centroids.nonEmpty,
+      "s07 IVF: no quantizer vectors (expected rows with vec_id < 16)")
     def l2(v: Seq[Float], c: Array[Double]): Double = {
       var acc = 0.0
       var i = 0

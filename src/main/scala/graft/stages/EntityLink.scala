@@ -84,12 +84,19 @@ object EntityLink {
     val spark = names.sparkSession
     import spark.implicits._
 
-    val banded = names.select("kind", "name").distinct().as[(String, String)]
+    // callers pass the already-distinct (kind, name) frame (namesOf ends
+    // in distinct()); duplicate rows would only produce duplicate
+    // candidate pairs, absorbed by the distinct() after the self-join —
+    // so no re-shuffle for dedup here
+    val banded = names.select("kind", "name").as[(String, String)]
       .flatMap { case (kind, name) =>
         bandKeys(name).map { case (b, k) => (kind, name, b, k) }
       }.toDF("kind", "name", "band", "bkey")
-      // consumed twice (both sides of the self-join) — don't re-minhash
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // consumed twice (both sides of the self-join) — don't re-minhash;
+      // eager localCheckpoint instead of persist so the blocks are
+      // context-cleaned once unreachable (persist would pin a copy per
+      // call for the session lifetime)
+      .localCheckpoint(true)
 
     val l = banded.as("l")
     val r = banded.as("r")
@@ -111,8 +118,10 @@ object EntityLink {
   def dictEdges(names: DataFrame, dict: DataFrame): DataFrame = {
     // (kind, alias) is the hash-join key — joining on kind alone and
     // filtering afterwards would probe every dictionary entry of that
-    // kind per mention (quadratic once the dictionary grows).
-    names.select("kind", "name").distinct().as("n")
+    // kind per mention (quadratic once the dictionary grows). Input is
+    // the already-distinct name frame; duplicates would only duplicate
+    // edges, which connected components absorbs.
+    names.select("kind", "name").as("n")
       .join(broadcast(dict.as("d")),
         col("n.kind") === col("d.kind") && col("n.name") === col("d.alias"))
       .filter(col("n.name") =!= col("d.canonical"))

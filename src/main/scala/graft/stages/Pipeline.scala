@@ -80,8 +80,12 @@ object Pipeline {
     * would re-parse every page body upstream.
     */
   def entities(spark: SparkSession, mentions: Dataset[Mention]): DataFrame = {
-    val names = EntityLink.namesOf(mentions)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint, not persist: materializes the (small,
+    // distinct) name set once, truncates lineage so no consumer re-parses
+    // pages, and the blocks are context-cleaned when the frame becomes
+    // unreachable — a plain persist here would pin one copy per call for
+    // the session lifetime (entities is called per query / per bench rep)
+    val names = EntityLink.namesOf(mentions).localCheckpoint(true)
     val cmap = canonicalMapFromNames(spark, names)
     names
       .join(cmap, Seq("kind", "name"), "left")

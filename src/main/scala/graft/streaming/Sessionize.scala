@@ -24,7 +24,9 @@ object Sessionize {
   // carries the raw event-time column: the watermark tracker needs it to
   // survive into the flatMapGroupsWithState child plan
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double) {
-    def us: Long = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    // floorDiv: getTime truncates toward zero while getNanos is always
+    // non-negative, so plain division is a second off for pre-1970 ts
+    def us: Long = Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
   }
   case class Open(startUs: Long, endUs: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
@@ -69,9 +71,16 @@ object Sessionize {
     }
   }
 
-  /** Streaming form over rows with (user_id, ts timestamp, value). */
+  /** Streaming form over rows with (user_id, ts timestamp, value).
+    *
+    * `watermarkDelay` is the allowed cross-batch lateness: events older
+    * than (max event time seen - delay) are DROPPED by the state store,
+    * diverging from the batch form which sees everything. The default
+    * tolerates 10 minutes of disorder; set it from the feed's actual
+    * lateness bound.
+    */
   def sessionizeStream(events: DataFrame, gapUs: Long,
-      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
