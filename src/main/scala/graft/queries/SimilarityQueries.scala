@@ -237,38 +237,69 @@ object SimilarityQueries {
       .orderBy("a", "b")
   }
 
+  private def l2(v: Seq[Float], c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length && i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  private def nearestCids(v: Seq[Float], cents: Array[Array[Double]], n: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, cid) => (l2(v, c), cid) }
+      .sortBy(_._1).take(n).map(_._2).toSeq
+
+  /** Deterministic Lloyd iterations for the IVF coarse quantizer: assign
+    * each vector to its nearest centroid (shuffle-free map; centroids are
+    * closure-broadcast), mean per cluster (one small shuffle keyed by the
+    * 16-value cid), driver-collect the 16 new centroids. Empty clusters
+    * keep their previous centroid.
+    */
+  private def lloyd(e: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    import e.sparkSession.implicits._
+    var cents = init
+    for (_ <- 1 to iters) {
+      val bc = cents
+      val updated = e.map { case (_, v) =>
+        (nearestCids(v, bc, 1).head, v.map(_.toDouble).toArray, 1L)
+      }.groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](a._2.length)
+          var i = 0
+          while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map { case (cid, (_, sum, n)) => (cid, sum.map(_ / n)) }
+        .collect().toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
   /** IVF-Flat ANN (the other scale path besides hyperplane LSH): a tiny
-    * coarse quantizer (16 centroids — here the first 16 vectors; a real
-    * index would k-means them, which changes recall, not the dataflow)
-    * partitions the corpus into inverted lists; probes scan only their
-    * nprobe=2 nearest lists. The quantizer is driver-collected and
-    * closure-broadcast — at 100 TB the centroid set stays tiny (k ~ sqrt N)
-    * while the corpus-side assignment remains a shuffle-free single pass;
-    * the probe⋈list join broadcasts the probe side. s03 brute force is
-    * the exact-answer reference (recall asserted in QueriesSpec).
+    * k-means coarse quantizer (16 centroids, seeded from the first 16
+    * vectors, refined by 2 Lloyd iterations) partitions the corpus into
+    * inverted lists; probes scan only their nprobe=2 nearest lists. The
+    * quantizer is driver-collected and closure-broadcast — at 100 TB the
+    * centroid set stays tiny (k ~ sqrt N) while the corpus-side
+    * assignment remains a shuffle-free single pass; the probe⋈list join
+    * broadcasts the probe side. s03 brute force is the exact-answer
+    * reference (recall asserted in QueriesSpec).
     */
   private val annIvf: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val nProbe = 2
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    val centroids: Array[(Int, Array[Double])] =
-      e.filter(_._1 < 16).collect().sortBy(_._1)
-        .map { case (id, v) => (id.toInt, v.map(_.toDouble).toArray) }
-    require(centroids.nonEmpty,
-      "s07 IVF: no quantizer vectors (expected rows with vec_id < 16)")
-    def l2(v: Seq[Float], c: Array[Double]): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < c.length && i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
-      acc
-    }
-    def nearest(v: Seq[Float], n: Int): Seq[Int] =
-      centroids.map { case (cid, c) => (l2(v, c), cid) }.sortBy(_._1).take(n).map(_._2).toSeq
-    val assigned = e.map { case (id, v) => (id, v, nearest(v, 1).head) }
+    val seed: Array[Array[Double]] =
+      e.filter(_._1 < 16).collect().sortBy(_._1).map(_._2.map(_.toDouble).toArray)
+    require(seed.nonEmpty,
+      "s07 IVF: no quantizer seed vectors (expected rows with vec_id < 16)")
+    val centroids = lloyd(e, seed, iters = 2)
+    val assigned = e.map { case (id, v) => (id, v, nearestCids(v, centroids, 1).head) }
       .toDF("vec_id", "embedding", "cid")
     val probes = e.filter(_._1 < 10)
-      .flatMap { case (id, v) => nearest(v, nProbe).map(c => (id, v, c)) }
+      .flatMap { case (id, v) => nearestCids(v, centroids, nProbe).map(c => (id, v, c)) }
       .toDF("probe_id", "probe", "cid")
     val pe = col("probe").cast("array<double>")
     val ee = col("embedding").cast("array<double>")

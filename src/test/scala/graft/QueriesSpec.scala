@@ -73,7 +73,9 @@ class QueriesSpec extends SparkSpec {
     common.foreach(k => assert(ivf(k) == brute(k), s"cosine mismatch at $k"))
     val recall = common.size.toDouble / brute.size
     info(f"IVF recall@5 vs brute force: $recall%.3f (nprobe=2 of 16 lists)")
-    assert(recall > 0.10, f"recall $recall%.3f")
+    // 0.90 measured with the 2-iteration Lloyd quantizer; 0.5 floor
+    // leaves room for tie-order jitter without masking a regression
+    assert(recall > 0.50, f"recall $recall%.3f")
     // every probe still returns a full (or near-full) top-5 from its lists
     assert(ivf.size >= 45, s"ivf rows: ${ivf.size}")
   }
