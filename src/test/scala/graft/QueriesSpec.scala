@@ -61,6 +61,17 @@ class QueriesSpec extends SparkSpec {
     assert(total == nDocs)
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // the only intended cross join (s03 brute-force ANN) broadcasts its
+    // 10-row probe side -> BroadcastNestedLoopJoin, never a cartesian;
+    // anything else would be an accidental all-pairs blowup at scale
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("s07 IVF ANN: exact cosines, measurable recall vs s03 brute force") {
     val brute = SparkEntry.queries("s03_ann_cosine_topk")(spark, sf)
       .select("probe_id", "vec_id", "cosine").collect()
