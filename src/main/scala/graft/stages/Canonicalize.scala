@@ -68,7 +68,18 @@ object Canonicalize {
     spark.createDataset(rows).toDF("id", "canonicalId")
   }
 
-  /** Large-graph path: label propagation to the component min. */
+  /** Large-graph path: min-label propagation with pointer jumping.
+    *
+    * Plain neighbor propagation moves the component minimum one hop per
+    * round — O(diameter) shuffles, and a high-diameter graph (a long
+    * rename chain) silently fails to converge within maxIter. Each round
+    * here adds a pointer-jump step (label <- label(label), one self-join)
+    * which halves the remaining distance, giving O(log diameter)
+    * convergence: a 10^6-long chain resolves in ~20 rounds instead of
+    * 10^6. Labels only decrease and every label is itself a vertex id,
+    * so the jump lookup always resolves and the fixpoint is the
+    * component min (asserted equal to union-find in LinkingSpec).
+    */
   private def distributedLabelProp(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -86,8 +97,17 @@ object Canonicalize {
       // neighbor labels: edge (src,dst) proposes label(src) to dst
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = msgs.union(labels.select(col("id"), col("label")))
+      // checkpointed: it feeds BOTH sides of the jump self-join (without
+      // this the groupBy runs twice per round, and the raw self-join of
+      // the same lazy plan trips Catalyst attribute resolution at depth)
+      val combined = msgs.union(labels.select(col("id"), col("label")))
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // pointer jump: follow the label one step (label of my label)
+      val next = combined
+        .join(combined.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("label") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()

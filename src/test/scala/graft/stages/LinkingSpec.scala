@@ -55,6 +55,19 @@ class LinkingSpec extends SparkSpec {
     assert(ccDist == cc)
   }
 
+  test("distributed CC converges on a high-diameter chain within maxIter") {
+    import spark.implicits._
+    // a 200-hop rename chain: plain min-label propagation moves the min
+    // one hop per round and would NOT converge in 20 iterations — the
+    // pointer-jump step (label <- label(label)) must carry it
+    val chain = (0 until 200)
+      .map(i => (f"v$i%04d", f"v${i + 1}%04d")).toDF("src", "dst")
+    val cc = Canonicalize.connectedComponents(chain, maxIter = 20, smallCutoff = 0)
+      .as[(String, String)].collect().toMap
+    assert(cc.size == 201)
+    assert(cc.values.toSet == Set("v0000"), s"labels: ${cc.values.toSet}")
+  }
+
   test("dictionary linking folds Westlake variants via canonical alias") {
     import spark.implicits._
     val mentions = Seq(
