@@ -77,39 +77,68 @@ object EntityLink {
     }
   }
 
-  /** Distinct (kind, name) -> verified fuzzy same-entity edges
-    * (kind, src, dst, jaccard) with src < dst.
+  /** Distinct (kind, name) -> verified same-entity edges
+    * (kind, src, dst, jaccard).
+    *
+    * Two scale guards from the blocking literature keep the self-join
+    * linear on hostile inputs:
+    *  - **identical-key folding**: names with the same normalized shingle
+    *    key (case/punctuation/spacing variants — jaccard exactly 1) link
+    *    as a star to the group minimum: g-1 edges instead of g(g-1)/2
+    *    LSH candidates, and only one representative per key enters LSH;
+    *  - **block purging**: an LSH bucket larger than `maxBucket` is
+    *    non-discriminative boilerplate (shared-prefix corpora collapse
+    *    whole corpora into one bucket) and is dropped — true near-dups
+    *    also collide in rarer buckets of the other bands. Purged-bucket
+    *    counts are logged, never silent.
     */
-  def fuzzyEdges(names: DataFrame, tau: Double): DataFrame = {
+  def fuzzyEdges(names: DataFrame, tau: Double, maxBucket: Int = 1000): DataFrame = {
     val spark = names.sparkSession
     import spark.implicits._
 
     // callers pass the already-distinct (kind, name) frame (namesOf ends
-    // in distinct()); duplicate rows would only produce duplicate
-    // candidate pairs, absorbed by the distinct() after the self-join —
-    // so no re-shuffle for dedup here
-    val banded = names.select("kind", "name").as[(String, String)]
+    // in distinct()); eager localCheckpoints (not persist) below so the
+    // blocks are context-cleaned once unreachable
+    val keyed = names.select("kind", "name").as[(String, String)]
+      .map { case (k, n) => (k, n, shingleKey(n)) }
+      .toDF("kind", "name", "skey")
+      .withColumn("rep", min(col("name")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("kind"), col("skey"))))
+      .localCheckpoint(true)
+
+    val starEdges = keyed.filter(col("name") =!= col("rep"))
+      .select(col("kind"), col("rep").as("src"), col("name").as("dst"),
+        lit(1.0).as("jaccard"))
+
+    val banded = keyed.filter(col("name") === col("rep"))
+      .select("kind", "name").as[(String, String)]
       .flatMap { case (kind, name) =>
         bandKeys(name).map { case (b, k) => (kind, name, b, k) }
       }.toDF("kind", "name", "band", "bkey")
-      // consumed twice (both sides of the self-join) — don't re-minhash;
-      // eager localCheckpoint instead of persist so the blocks are
-      // context-cleaned once unreachable (persist would pin a copy per
-      // call for the session lifetime)
       .localCheckpoint(true)
 
-    val l = banded.as("l")
-    val r = banded.as("r")
+    val sizes = banded.groupBy("kind", "band", "bkey").agg(count(lit(1)).as("__bsz"))
+    val purged = sizes.filter(col("__bsz") > maxBucket)
+    val nPurged = purged.count()
+    if (nPurged > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"fuzzyEdges: purged $nPurged LSH buckets larger than $maxBucket names")
+    val pruned = banded.join(sizes.filter(col("__bsz") <= maxBucket).drop("__bsz"),
+      Seq("kind", "band", "bkey"))
+
+    val l = pruned.as("l")
+    val r = pruned.as("r")
     val candidates = l.join(r,
         $"l.kind" === $"r.kind" && $"l.band" === $"r.band" &&
           $"l.bkey" === $"r.bkey" && $"l.name" < $"r.name")
       .select($"l.kind".as("kind"), $"l.name".as("src"), $"r.name".as("dst"))
       .distinct()
 
-    candidates.as[(String, String, String)]
+    val fuzzy = candidates.as[(String, String, String)]
       .map { case (kind, a, b) => (kind, a, b, jaccard(shingles(a), shingles(b))) }
       .toDF("kind", "src", "dst", "jaccard")
       .filter($"jaccard" >= tau)
+
+    starEdges.unionByName(fuzzy)
   }
 
   /** Exact-alias edges from a canonical dictionary (kind, alias,
