@@ -195,6 +195,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact distribution stats per language: p50/p90 of document length —
+    * the standard corpus-profiling pass before filtering thresholds are
+    * chosen. Exact interpolated percentile (one shuffle on lang) rather
+    * than approx sketches so the DuckDB oracle can value-match.
+    */
+  private val percentiles: Q = (s, dir) => {
+    implicit val sp = s
+    docs(dir)
+      .groupBy(col("lang"))
+      .agg(
+        floor(expr("percentile(n_chars, 0.5)") * 100 + 0.5) / 100 as "p50_chars",
+        floor(expr("percentile(n_chars, 0.9)") * 100 + 0.5) / 100 as "p90_chars",
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  /** PII-style redaction over the events props payload: digit runs
+    * replaced with a token, redaction verified by count + md5 of the
+    * redacted text (cross-engine byte agreement). The real pipeline
+    * would swap the pattern set (emails, phones, SSNs); the dataflow —
+    * scan, global regexp_replace, fingerprint — is the operator.
+    */
+  private val redact: Q = (s, dir) => {
+    implicit val sp = s
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("n_nums"),
+        md5(regexp_replace(col("props"), "[0-9]+", "<NUM>")).as("redacted_md5"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "t01_dedup_exact" -> dedupExact,
     "t02_token_count" -> tokenCount,
@@ -205,7 +236,9 @@ object TextQueries {
     "t07_fingerprint" -> fingerprint,
     "t08_repetition_ratio" -> repetitionRatio,
     "t09_train_split" -> trainSplit,
-    "t10_word_jaccard" -> wordJaccard)
+    "t10_word_jaccard" -> wordJaccard,
+    "t11_percentiles" -> percentiles,
+    "t12_redact" -> redact)
 
   val oracle: Map[String, String] = Map(
     "t01_dedup_exact" ->
@@ -286,5 +319,16 @@ object TextQueries {
         |SELECT doc_id, next_id,
         |  floor(CAST(len(list_intersect(ws, next_ws)) AS DOUBLE)
         |    / len(list_distinct(list_concat(ws, next_ws))) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM w WHERE next_id IS NOT NULL ORDER BY doc_id""".stripMargin)
+        |FROM w WHERE next_id IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "t11_percentiles" ->
+      """SELECT lang,
+        |  floor(quantile_cont(n_chars, 0.5) * 100 + 0.5) / 100 AS p50_chars,
+        |  floor(quantile_cont(n_chars, 0.9) * 100 + 0.5) / 100 AS p90_chars,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t12_redact" ->
+      """SELECT event_id,
+        |  len(regexp_extract_all(props, '[0-9]+')) AS n_nums,
+        |  md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+        |FROM events ORDER BY event_id""".stripMargin)
 }
