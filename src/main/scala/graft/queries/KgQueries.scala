@@ -141,8 +141,29 @@ object KgQueries {
     MentionDetect.quarantine(good.union(bad)).toDF().orderBy("path")
   }
 
+  /** Downstream graph consumption: co-authorship edges derived from the
+    * materialized triples — author triples self-joined on docId (the
+    * classic first query a KG user runs). Distinct doc-level records
+    * first, so corpus replication doesn't inflate pair counts; at scale
+    * the self-join shuffles on docId and authors-per-doc bounds the
+    * per-key blowup.
+    */
+  private val kgCoauthors: Q = (s, _) => {
+    import s.implicits._
+    val authors = MentionDetect.triples(records(s).as[PaperRecord]).toDF()
+      .filter(col("pred") === "hasAuthor")
+      .select(col("docId"), col("obj").as("author"))
+      .distinct()
+    authors.as("a").join(authors.as("b"),
+        col("a.docId") === col("b.docId") && col("a.author") < col("b.author"))
+      .groupBy(col("a.author").as("author_a"), col("b.author").as("author_b"))
+      .agg(countDistinct(col("a.docId")).as("n_papers"))
+      .orderBy("author_a", "author_b")
+  }
+
   val all: Map[String, Q] = Map(
     "kg01_triples" -> kgTriples,
+    "kg10_coauthors" -> kgCoauthors,
     "kg09_quarantine" -> kgQuarantine,
     "kg02_ingest_sha" -> kgIngest,
     "kg03_entities" -> kgEntities,
