@@ -21,10 +21,11 @@ object Bench {
   private val headline = Seq(
     "q01_pricing_agg", "q02_revenue_by_nation", "q03_top_orders",
     "q06_filter_pushdown_agg", "q07_window_running", "q08_distinct_agg",
-    "q11_events_json_hourly", "q13_rollup",
+    "q11_events_json_hourly", "q13_rollup", "q15_asof_join", "q17_sessionize",
     "t01_dedup_exact", "t02_token_count", "t03_quality_score", "t04_lang_id",
+    "t08_repetition_ratio", "t09_train_split", "t12_redact",
     "s01_minhash_neardup", "s02_simhash_neardup", "s03_ann_cosine_topk",
-    "s05_multimodal_decode")
+    "s05_multimodal_decode", "s07_ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
