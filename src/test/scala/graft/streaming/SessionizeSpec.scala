@@ -16,6 +16,9 @@ class SessionizeSpec extends SparkSpec {
     val real = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", col("ts").cast("timestamp"))
     real.coalesce(1).write.mode("append").parquet(dir)
+    // the file source orders micro-batches by modification time — make
+    // sure the sentinel file's mtime strictly follows the data file's
+    Thread.sleep(1100)
     // sentinel batch far in the future: advances the watermark past every
     // open session's (end + gap) so event-time timeouts flush them all
     val maxTs = real.agg(max("ts")).head.getTimestamp(0)
