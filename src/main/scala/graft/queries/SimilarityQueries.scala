@@ -313,6 +313,40 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Multimodal frame-sample + resize plumbing (video/image shape): the
+    * blob is treated as fixed-size frames; every 4th frame is sampled
+    * and "resized" by the stub codec (real decoders are absent offline —
+    * deterministic fakes stand in; the Spark contract being exercised is
+    * the batch shape: one binary row in, an array of per-frame features
+    * out, per-partition codec init, no driver involvement).
+    */
+  private val frameSample: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val frameBytes = 256
+    val stride = 4
+    docs(dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec" init happens here (stub)
+        it.map { case (id, blob) =>
+          val nFrames = (blob.length + frameBytes - 1) / frameBytes
+          val sampled = (0 until nFrames by stride).map { f =>
+            val frame = blob.slice(f * frameBytes, (f + 1) * frameBytes)
+            val h = MurmurHash3.bytesHash(frame, 42)
+            // "resize": stub produces the target dims + a checksum the
+            // way a real thumbnailer returns (w, h, bytes)
+            (f, 32, 32, h)
+          }
+          (id, nFrames, sampled.length,
+            sampled.map { case (f, w, h, x) => f"$f%d:$w%dx$h%d:$x%08x" })
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "sampled_frames")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "s01_minhash_neardup" -> minhashDedup,
     "s02_simhash_neardup" -> simhashDedup,
@@ -320,7 +354,8 @@ object SimilarityQueries {
     "s04_ann_lsh_topk" -> annLsh,
     "s05_multimodal_decode" -> multimodalStub,
     "s06_embedding_neardup" -> embNeardup,
-    "s07_ann_ivf_topk" -> annIvf)
+    "s07_ann_ivf_topk" -> annIvf,
+    "s08_frame_sample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
     "s03_ann_cosine_topk" ->

@@ -61,6 +61,16 @@ class QueriesSpec extends SparkSpec {
     assert(total == nDocs)
   }
 
+  test("t02 prunes the documents scan to the columns it uses") {
+    val plan = SparkEntry.queries("t02_token_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // ReadSchema must carry only text+lang — reading doc_id/source/n_chars
+    // for a two-column aggregate means pruning broke (at 100 TB that is
+    // the difference between scanning 2 columns and the whole table)
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>")
+      || plan.contains("ReadSchema: struct<lang:string,text:string>"), plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // the only intended cross join (s03 brute-force ANN) broadcasts its
     // 10-row probe side -> BroadcastNestedLoopJoin, never a cartesian;
