@@ -263,6 +263,20 @@ object RelationalQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Interval (range) join, batch form of the stream-stream attribution
+    * join (graft.streaming.StreamJoin; stream/batch parity in
+    * StreamJoinSpec): every purchase within the hour before a click.
+    */
+  private val q18: Q = (s, dir) => {
+    implicit val sp = s
+    val ev = t(dir, "events")
+    graft.streaming.StreamJoin.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        watermark = None)
+      .orderBy("click_id", "purchase_us", "purchase_value")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01,
     "q02_revenue_by_nation" -> q02,
@@ -280,7 +294,8 @@ object RelationalQueries {
     "q14_cube" -> q14,
     "q15_asof_join" -> q15,
     "q16_salted_join" -> q16,
-    "q17_sessionize" -> q17)
+    "q17_sessionize" -> q17,
+    "q18_interval_join" -> q18)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -396,5 +411,14 @@ object RelationalQueries {
         |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
         |  count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin)
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "q18_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+        |  p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_us, purchase_value""".stripMargin)
 }
