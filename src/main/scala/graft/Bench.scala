@@ -61,13 +61,19 @@ object Bench {
     // vs 0.8 s steady for q01) and the host has bursty multi-second
     // stalls — steady-state capability is the number that scales.
     val qmap = SparkEntry.queries
+    val repFailures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = headline.filter(qmap.contains).map { name =>
       val secs = (1 to 3).map { _ =>
         try time(qmap(name)(spark, sfDir).count())._2
-        catch { case _: Throwable => -1.0 }
+        catch {
+          case e: Throwable =>
+            // transient failures don't discard the clean samples, but they
+            // must stay observable: count them per query + warn on stderr
+            System.err.println(s"[bench] $name rep failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            repFailures(name) = repFailures.getOrElse(name, 0) + 1
+            -1.0
+        }
       }.filter(_ >= 0)
-      // a transient failure in one rep doesn't discard the clean samples;
-      // -1 only when every rep failed
       name -> (if (secs.isEmpty) -1.0 else secs.min)
     }
 
@@ -93,9 +99,19 @@ object Bench {
 
     val qs = (results ++ Seq("kg_extract_pipeline" -> kgSec, "kg_entity_link" -> linkSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val fails = repFailures.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec + linkSec
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${f"$tps%.1f"}}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rep_failures":$fails,"sf":"$sfDir","cpus":$cpus,"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${f"$tps%.1f"}}"""
+    // the driver machine-parses this JSON; under sbt, stdout lines get an
+    // "[info] " prefix and trailing [success] lines follow — so (a) write
+    // it to a file and (b) print it AFTER spark.stop() so no Spark
+    // shutdown logs trail it on stdout
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    println(json)
   }
 }

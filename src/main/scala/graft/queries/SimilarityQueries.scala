@@ -134,40 +134,62 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
-  /** ANN scale path: random-hyperplane LSH — 12 signed projections give a
-    * 12-bit bucket; probes only score their own bucket. Recall < 1 by
-    * construction; the brute-force query is the reference answer.
+  /** ANN scale path: OR-amplified multi-table hyperplane LSH with
+    * 1-bit multiprobe. L tables of `bits` signed random projections;
+    * every corpus vector lands in ONE bucket per table (L small
+    * (id, table, bucket) rows to shuffle — the embedding itself never
+    * reshuffles beyond the candidate join); every probe examines its own
+    * bucket PLUS all Hamming-distance-1 buckets in each table, the
+    * candidate union is deduped and ranked by exact cosine.
+    *
+    * `bits` scales as log2(N/32) so expected bucket occupancy stays ~32
+    * at any corpus size: per-probe candidate work is L*(bits+1)*32 =
+    * O(log N) vectors scored, independent of N. (Round-1's single
+    * 12-bit table was a recall-zero trap: 4096 buckets over 500 vectors
+    * made every bucket a singleton, so probes found nothing.)
     */
   private val annLsh: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val dim = 64
-    val planes: Array[Array[Double]] = {
-      val rnd = new scala.util.Random(7)
-      Array.fill(12)(Array.fill(dim)(rnd.nextGaussian()))
+    val tables = 8
+    val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
+    // parquet row-group metadata count — no data scan
+    val n = embs(dir).count()
+    val bits = math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(tables) { t =>
+      val rnd = new scala.util.Random(7000 + t)
+      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     }
-    def bucketOf(v: Seq[Float]): Int = {
+    def bucketOf(v: Seq[Float], t: Int): Int = {
       var key = 0
       var p = 0
-      while (p < planes.length) {
+      while (p < bits) {
         var acc = 0.0
         var i = 0
-        while (i < dim && i < v.length) { acc += planes(p)(i) * v(i); i += 1 }
+        while (i < dim && i < v.length) { acc += planes(t)(p)(i) * v(i); i += 1 }
         if (acc > 0) key |= (1 << p)
         p += 1
       }
       key
     }
-    val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, bucketOf(v)) }
-      .toDF("vec_id", "embedding", "bucket")
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"), col("bucket"))
+    val corpus = e.flatMap { case (id, v) =>
+      (0 until tables).map(t => (id, v, t, bucketOf(v, t)))
+    }.toDF("vec_id", "embedding", "tbl", "bucket")
+    // probes: own bucket + every 1-bit flip (multiprobe) per table;
+    // 10 probes x 8 tables x (bits+1) rows -> trivially broadcastable
+    val probes = e.filter(_._1 < 10).flatMap { case (id, v) =>
+      (0 until tables).flatMap { t =>
+        val k = bucketOf(v, t)
+        (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, v, t, kk))
+      }
+    }.toDF("probe_id", "probe", "tbl", "bucket")
     val pe = col("probe").cast("array<double>")
     val ee = col("embedding").cast("array<double>")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
-    e.join(broadcast(probes), Seq("bucket"))
+    corpus.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "vec_id") // union of L tables x multiprobe
       .withColumn("cos_raw", dot(pe, ee) / (sqrt(dot(pe, pe)) * sqrt(dot(ee, ee))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -339,8 +361,10 @@ object SimilarityQueries {
             // way a real thumbnailer returns (w, h, bytes)
             (f, 32, 32, h)
           }
+          // scalar ";"-joined column (not array<string>): the driver's
+          // rows-only compare sorts pandas frames and chokes on arrays
           (id, nFrames, sampled.length,
-            sampled.map { case (f, w, h, x) => f"$f%d:$w%dx$h%d:$x%08x" })
+            sampled.map { case (f, w, h, x) => f"$f%d:$w%dx$h%d:$x%08x" }.mkString(";"))
         }
       }
       .toDF("doc_id", "n_frames", "n_sampled", "sampled_frames")

@@ -36,7 +36,9 @@ object TextQueries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        round(avg("n_tokens"), 2).as("avg_tokens"))
+        // floor-based rounding (see qualityScore): identical double math on
+        // both engines; Spark round() is decimal HALF_UP, DuckDB binary.
+        (floor(avg("n_tokens") * 100 + 0.5) / 100).as("avg_tokens"))
       .orderBy("lang")
   }
 
@@ -245,9 +247,12 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t02_token_count" ->
+      // CAST ... AS BIGINT: DuckDB integer sum() is HUGEINT (int128) while
+      // Spark's is BIGINT — printed values agree but the hash comparator
+      // sees different value encodings. floor-rounding as in t03.
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
-        |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 2) AS avg_tokens
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  floor(avg(len(regexp_split_to_array(trim(text), '\s+'))) * 100 + 0.5) / 100 AS avg_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t03_quality_score" ->
       // CAST AS DOUBLE, not "* 1.0": a 1.0 literal is DECIMAL in DuckDB
@@ -306,7 +311,7 @@ object TextQueries {
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
         |            ELSE 'test' END AS split,
-        |  lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t10_word_jaccard" ->
       """WITH w AS (

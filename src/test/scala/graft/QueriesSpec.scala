@@ -111,8 +111,12 @@ class QueriesSpec extends SparkSpec {
     val common = lsh.keySet.intersect(brute.keySet)
     common.foreach(k => assert(lsh(k) == brute(k), s"cosine mismatch at $k"))
     val recall = common.size.toDouble / brute.size
-    info(f"LSH recall@5 vs brute force: $recall%.3f (12-bit buckets)")
-    assert(recall > 0.0, "LSH found none of the true top-5")
+    info(f"LSH recall@5 vs brute force: $recall%.3f (8 tables, multiprobe-1)")
+    // round 1's single-table LSH scored 0 rows at the driver's sf and the
+    // old `> 0.0` floor never noticed — require real recall and a
+    // (near-)full top-5 per probe
+    assert(recall >= 0.5, f"recall $recall%.3f")
+    assert(lsh.size >= 45, s"lsh rows: ${lsh.size}")
   }
 
   test("q15 as-of join matches the naive join+argmax semantics") {
