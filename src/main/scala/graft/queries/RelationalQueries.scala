@@ -226,14 +226,19 @@ object RelationalQueries {
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     clicks.unionByName(purchases)
-      .withColumn("purchase_us",
-        last(when(col("kind") === 1, unix_micros(col("ts").cast("timestamp"))), ignoreNulls = true).over(w))
-      .withColumn("purchase_value",
-        last(when(col("kind") === 1, col("p_value")), ignoreNulls = true).over(w))
-      .filter(col("kind") === 0 && col("purchase_us").isNotNull)
+      // ONE tracked struct, not two independent ignoreNulls windows: with
+      // separate trackers a purchase whose max(value) is NULL would leave
+      // purchase_value pointing at an OLDER purchase while purchase_us
+      // points at the newer one — an inconsistent pair the ASOF oracle
+      // never produces (it returns the newest purchase's NULL value)
+      .withColumn("p",
+        last(when(col("kind") === 1,
+            struct(unix_micros(col("ts").cast("timestamp")).as("us"), col("p_value"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 0 && col("p").isNotNull)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("click_us"),
-        col("purchase_us"), col("purchase_value"))
+        col("p.us").as("purchase_us"), col("p.p_value").as("purchase_value"))
       .orderBy("event_id")
   }
 
@@ -397,7 +402,8 @@ object RelationalQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE user_id IS NOT NULL),
         |g AS (
         |  SELECT user_id, us, value,
         |    CASE WHEN lag(us) OVER win IS NULL OR us - lag(us) OVER win > 21600000000
@@ -411,7 +417,7 @@ object RelationalQueries {
         |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
         |  count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, session_start_us NULLS FIRST""".stripMargin,
     "q18_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,

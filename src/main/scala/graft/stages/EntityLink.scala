@@ -96,10 +96,13 @@ object EntityLink {
     val spark = names.sparkSession
     import spark.implicits._
 
-    // callers pass the already-distinct (kind, name) frame (namesOf ends
-    // in distinct()); eager localCheckpoints (not persist) below so the
-    // blocks are context-cleaned once unreachable
-    val keyed = names.select("kind", "name").as[(String, String)]
+    // self-sufficient contract: dedup the input here — a non-distinct
+    // (kind, name) frame must not emit duplicate star/jaccard edges.
+    // Cheap relative to the window + LSH that follow (Catalyst collapses
+    // it into the same shuffle when the caller already deduped); eager
+    // localCheckpoints (not persist) below so the blocks are
+    // context-cleaned once unreachable
+    val keyed = names.select("kind", "name").distinct().as[(String, String)]
       .map { case (k, n) => (k, n, shingleKey(n)) }
       .toDF("kind", "name", "skey")
       .withColumn("rep", min(col("name")).over(
@@ -147,10 +150,9 @@ object EntityLink {
   def dictEdges(names: DataFrame, dict: DataFrame): DataFrame = {
     // (kind, alias) is the hash-join key — joining on kind alone and
     // filtering afterwards would probe every dictionary entry of that
-    // kind per mention (quadratic once the dictionary grows). Input is
-    // the already-distinct name frame; duplicates would only duplicate
-    // edges, which connected components absorbs.
-    names.select("kind", "name").as("n")
+    // kind per mention (quadratic once the dictionary grows). Dedup here
+    // keeps the edge set duplicate-free for any caller.
+    names.select("kind", "name").distinct().as("n")
       .join(broadcast(dict.as("d")),
         col("n.kind") === col("d.kind") && col("n.name") === col("d.alias"))
       .filter(col("n.name") =!= col("d.canonical"))

@@ -50,11 +50,26 @@ object Sessionize {
       var open = state.getOption
       sorted.foreach { e =>
         open match {
-          case Some(s) if e.us - s.endUs <= gapUs =>
-            open = Some(Open(s.startUs, e.us, s.n + 1, s.total + e.value))
-          case Some(s) =>
+          case Some(s) if e.us - s.endUs <= gapUs && s.startUs - e.us <= gapUs =>
+            // in-gap — including cross-batch out-of-order events still
+            // inside the watermark tolerance, which can land BEFORE the
+            // open session's end: extend both ends, never regress endUs
+            // (a naive endUs := e.us would emit a wrong session_end and
+            // make later gap checks compare against the regressed end,
+            // splitting sessions the batch plan merges)
+            open = Some(Open(math.min(s.startUs, e.us), math.max(s.endUs, e.us),
+              s.n + 1, s.total + e.value))
+          case Some(s) if e.us > s.endUs =>
             out += close(user, s)
             open = Some(Open(e.us, e.us, 1, e.value))
+          case Some(_) =>
+            // late event more than a gap BEFORE the open session: it can
+            // never join it, so it forms its own already-gap-complete
+            // session. Remaining limitation (inherent to append-mode
+            // streaming): an event late enough to belong to an
+            // already-EMITTED session cannot reopen it — bound lateness
+            // with the watermark delay.
+            out += close(user, Open(e.us, e.us, 1, e.value))
           case None =>
             open = Some(Open(e.us, e.us, 1, e.value))
         }
@@ -84,6 +99,9 @@ object Sessionize {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      // a NULL session key is meaningless (and .as[Event] with a
+      // non-nullable Long would throw); both forms + the oracle drop it
+      .filter(col("user_id").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("ts"), col("value"))
       .as[Event]
@@ -96,6 +114,7 @@ object Sessionize {
   def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("value"))
     events
+      .filter(col("user_id").isNotNull) // same key contract as the stream form
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_session",

@@ -45,6 +45,43 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-batch out-of-order event within the watermark keeps parity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sessions-ooo").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0.getTime + offsetMin * 60000)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      rows.toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // file source orders micro-batches by mtime
+    }
+    // batch 1: t+0 and t+2min -> open session ends at t+2min
+    write(Seq((1L, ts(0), 1.0), (1L, ts(2), 2.0)))
+    // batch 2: t+1min — OUT OF ORDER but within the 10-minute watermark;
+    // a naive endUs := e.us would regress the session end to t+1min
+    write(Seq((1L, ts(1), 4.0)))
+    // sentinel: advance the watermark far enough to flush by timeout
+    write(Seq((-1L, ts(60L * 24 * 40), 0.0)))
+
+    val src = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Sessionize.sessionizeStream(src, GapUs).writeStream
+      .format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sessions_ooo WHERE user_id >= 0")
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      val batch = Sessionize.sessionizeBatch(
+          spark.read.parquet(dir).filter(col("user_id") >= 0), GapUs)
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      assert(streamed.map(_.toString) == batch.map(_.toString),
+        s"streamed=$streamed batch=$batch")
+      // one merged session covering all three events, end NOT regressed
+      assert(streamed.size == 1)
+      assert(streamed.head.getLong(2) == ts(2).getTime * 1000, streamed.head.toString)
+      assert(streamed.head.getLong(3) == 3L)
+    } finally q.stop()
+  }
+
   test("state is bounded: one Open struct per active user") {
     // structural property of the operator: the state value is a fixed-size
     // struct, independent of how many events the session absorbed
