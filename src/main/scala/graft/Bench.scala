@@ -42,6 +42,7 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftUdfs.register(spark)
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()

@@ -30,5 +30,6 @@ object SparkEntry {
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ KgQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle
+    RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
+      KgQueries.oracle
 }

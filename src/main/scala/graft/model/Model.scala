@@ -51,7 +51,30 @@ final case class PaperRecord(
     equalContributions: Seq[String],
     countries: Seq[String],
     authors: Seq[Author],
-    notes: Map[String, String])
+    notes: Map[String, String],
+    // A9: Science funding paragraphs (section.core-funding div[role=
+    // paragraph], science_extractor.py:161-166); empty for other journals
+    funding: Seq[String] = Seq.empty)
+
+object PaperRecord {
+
+  /** main.py:30 semantic rule: "当未标识通讯作者时，则第一作者为通讯作者" — when no
+    * author carries a corresponding mark, the first author is treated as
+    * the corresponding author. The reference applies this in its report
+    * stage (the LLM prompt), not at extraction, so the engine applies it
+    * at report assembly too — extraction triples and golden P/R are
+    * unchanged.
+    */
+  def withDefaultCorresponding(r: PaperRecord): PaperRecord =
+    if (r.authors.isEmpty || r.authors.exists(_.isCorresponding)) r
+    else {
+      val sorted = r.authors.sortBy(_.position)
+      val first = sorted.head
+      val upgraded = first.copy(isCorresponding = true,
+        role = if (first.role == "First Author") "First/Corresponding Author" else first.role)
+      r.copy(authors = upgraded +: sorted.tail)
+    }
+}
 
 /** A (subj, pred, obj) triple with provenance. P/R vs golden compares the
   * DISTINCT (subj, pred, obj) set per doc (order-free, SURVEY.md §5.4).

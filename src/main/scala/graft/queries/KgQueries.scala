@@ -48,7 +48,10 @@ object KgQueries {
     */
   private val kgWideReport: Q = (s, _) => {
     import s.implicits._
-    records(s).as[PaperRecord].map { r =>
+    // main.py:30 report rule: an unmarked paper's first author IS the
+    // corresponding author (applied here, at report assembly — extraction
+    // triples stay faithful to the page)
+    records(s).as[PaperRecord].map(PaperRecord.withDefaultCorresponding).map { r =>
       val firstCorr = scala.collection.mutable.Set.empty[String]
       val other = scala.collection.mutable.Set.empty[String]
       val corr = scala.collection.mutable.Set.empty[String]
@@ -161,8 +164,39 @@ object KgQueries {
       .orderBy("author_a", "author_b")
   }
 
+  /** The extraction CORRECTNESS gate with a hard oracle: distinct
+    * extracted (docId, subj, pred, obj) full-outer-joined against the
+    * reference-derived golden set, summarized per predicate. The DuckDB
+    * oracle (SparkEntry.oracleSql) pins the expected summary as literal
+    * VALUES — n_missing/n_extra must be 0 and the per-predicate counts
+    * must equal the golden tallies, so any extraction regression flips
+    * the driver's hash compare red (the other kg queries are rows-only).
+    */
+  private val kgGoldenCheck: Q = (s, _) => {
+    import s.implicits._
+    val golden = FixtureCorpus.resourceText("/graft/golden/triples.tsv")
+      .split("\n").filter(_.nonEmpty).toSeq.map { ln =>
+        val Array(d, subj, pred, obj) = ln.split("\t", 4)
+        (d, subj, pred, obj)
+      }.toDF("docId", "subj", "pred", "obj").withColumn("in_g", lit(1))
+    // replicas of the same page share a docId -> distinct collapses the
+    // 100-row corpus back to the 7 fixture docs' triple sets
+    val extracted = MentionDetect.triples(records(s).as[PaperRecord]).toDF()
+      .select("docId", "subj", "pred", "obj").distinct()
+      .withColumn("in_e", lit(1))
+    golden.join(extracted, Seq("docId", "subj", "pred", "obj"), "full_outer")
+      .groupBy("pred")
+      .agg(
+        sum(coalesce(col("in_g"), lit(0))).as("n_golden"),
+        sum(coalesce(col("in_e"), lit(0))).as("n_extracted"),
+        sum(when(col("in_e").isNull, 1).otherwise(0)).as("n_missing"),
+        sum(when(col("in_g").isNull, 1).otherwise(0)).as("n_extra"))
+      .orderBy("pred")
+  }
+
   val all: Map[String, Q] = Map(
     "kg01_triples" -> kgTriples,
+    "kg11_golden_check" -> kgGoldenCheck,
     "kg10_coauthors" -> kgCoauthors,
     "kg09_quarantine" -> kgQuarantine,
     "kg02_ingest_sha" -> kgIngest,
@@ -172,4 +206,35 @@ object KgQueries {
     "kg06_canonical_map" -> kgCanonicalMap,
     "kg07_records_json" -> kgRecordsJson,
     "kg08_quality" -> kgQuality)
+
+  /** The kg11 oracle pins the golden per-predicate tallies as literal
+    * VALUES (the golden TSV is static — regenerate both with
+    * tools/derive_goldens.py). n_missing/n_extra MUST be 0: P = R = 1.0
+    * triple-for-triple vs the reference-derived set.
+    */
+  val oracle: Map[String, String] = Map(
+    "kg11_golden_check" ->
+      """SELECT pred, CAST(n_golden AS BIGINT) AS n_golden,
+        |  CAST(n_extracted AS BIGINT) AS n_extracted,
+        |  CAST(n_missing AS BIGINT) AS n_missing,
+        |  CAST(n_extra AS BIGINT) AS n_extra
+        |FROM (VALUES
+        |  ('affiliatedWith', 34, 34, 0, 0),
+        |  ('hasAbstract', 7, 7, 0, 0),
+        |  ('hasAuthor', 23, 23, 0, 0),
+        |  ('hasContactEmail', 5, 5, 0, 0),
+        |  ('hasContribution', 1, 1, 0, 0),
+        |  ('hasCreditRole', 4, 4, 0, 0),
+        |  ('hasDOI', 5, 5, 0, 0),
+        |  ('hasEqualContribution', 1, 1, 0, 0),
+        |  ('hasFunding', 2, 2, 0, 0),
+        |  ('hasNote', 2, 2, 0, 0),
+        |  ('hasRole', 23, 23, 0, 0),
+        |  ('hasTitle', 7, 7, 0, 0),
+        |  ('isCorresponding', 8, 8, 0, 0),
+        |  ('locatedIn', 17, 17, 0, 0),
+        |  ('publishedIn', 7, 7, 0, 0),
+        |  ('publishedOn', 7, 7, 0, 0)
+        |) AS t(pred, n_golden, n_extracted, n_missing, n_extra)
+        |ORDER BY pred""".stripMargin)
 }

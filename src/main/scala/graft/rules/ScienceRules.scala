@@ -50,6 +50,10 @@ object ScienceRules {
 
   private val notesSectionPat = Pattern.compile(
     """<section[^>]*class="core-authors-notes"[^>]*>(.*?)</section>""", Pattern.DOTALL)
+  // A9: funding paragraphs (science_extractor.py:161-166 — the reference
+  // extracts them even though it comments the field out of its result)
+  private val fundingSectionPat = Pattern.compile(
+    """<section[^>]*class="core-funding"[^>]*>(.*?)</section>""", Pattern.DOTALL)
   private val footnotePat = Pattern.compile(
     """<div role="doc-footnote">\s*<div class="label">(.*?)</div>\s*<div id="[^"]*">(.*?)</div>""",
     Pattern.DOTALL)
@@ -123,6 +127,10 @@ object ScienceRules {
       out.toMap
     }.getOrElse(Map.empty)
 
+    val funding: Seq[String] = firstGroup(fundingSectionPat, html)
+      .map(sec => allGroups(paragraphPat, sec).map(tagStrip).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
     val authors = allGroups(authorBlockPat, html).zipWithIndex.map { case (block, idx) =>
       // The heading is everything before the content div; marks are its sups.
       val headingEnd = block.indexOf("""<div class="content">""")
@@ -163,6 +171,7 @@ object ScienceRules {
       equalContributions = Seq.empty,
       countries = countries,
       authors = authors,
-      notes = notes)
+      notes = notes,
+      funding = funding)
   }
 }

@@ -12,7 +12,7 @@ import graft.model.{PaperRecord, Triple}
   * Predicates: hasTitle publishedIn publishedOn hasAbstract hasDOI
   * hasAuthor hasRole isCorresponding affiliatedWith locatedIn
   * hasContactEmail hasContribution hasEqualContribution hasNote
-  * hasCreditRole.
+  * hasCreditRole hasFunding.
   */
 object TripleEmit {
 
@@ -35,6 +35,7 @@ object TripleEmit {
       r.abstractText.flatMap(t(doc, "hasAbstract", _)),
       r.contributions.flatMap(t(doc, "hasContribution", _))).flatten ++
       r.equalContributions.flatMap(t(doc, "hasEqualContribution", _)) ++
+      r.funding.flatMap(t(doc, "hasFunding", _)) ++
       r.notes.toSeq.sortBy(_._1).flatMap { case (label, text) =>
         t(doc, "hasNote", s"$label: $text")
       }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class GoldenTripleSpec extends SparkSpec {
 
   private def goldenDf = {
-    val in = getClass.getResourceAsStream("/golden/triples.tsv")
+    val in = getClass.getResourceAsStream("/graft/golden/triples.tsv")
     val lines = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq
     in.close()

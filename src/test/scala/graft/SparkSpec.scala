@@ -13,6 +13,8 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
+
+  graft.functions.GraftUdfs.register(spark)
 }
 
 abstract class SparkSpec extends AnyFunSuite {

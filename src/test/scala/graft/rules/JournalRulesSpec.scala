@@ -82,4 +82,33 @@ class JournalRulesSpec extends AnyFunSuite {
     assert(science.abstractText.exists(_.contains("mucosal immune system. Here we engineer")))
     assert(science.countries == Seq("UK", "USA"))
   }
+
+  test("Science: funding paragraphs extracted (A9, science_extractor.py:161-166)") {
+    assert(science.funding == Seq(
+      "Funding: National Institutes of Health grant R01-DK123456 (to S.O.); " +
+        "Wellcome Trust Investigator Award 21700/Z/20/Z (to T.G.).",
+      "M.-L.C. acknowledges a Stanford Bio-X graduate fellowship."))
+    // other journals never populate the field
+    assert(nature.funding.isEmpty && aps7x71.funding.isEmpty)
+    // emission: one hasFunding triple per paragraph
+    val triples = TripleEmit.emit(science).filter(_.pred == "hasFunding")
+    assert(triples.map(_.obj).toSet == science.funding.toSet)
+    assert(triples.forall(t => t.subj == science.docId))
+  }
+
+  test("main.py:30 default: first author becomes corresponding when unmarked") {
+    import graft.model.PaperRecord
+    // the fixture pages all mark a corresponding author -> no-op
+    assert(PaperRecord.withDefaultCorresponding(science) == science)
+    assert(PaperRecord.withDefaultCorresponding(nature) == nature)
+    // strip the marks -> the first author is promoted
+    val unmarked = science.copy(authors =
+      science.authors.map(_.copy(isCorresponding = false, role = "Other Author"))
+        .zipWithIndex.map { case (a, i) =>
+          if (i == 0) a.copy(role = "First Author") else a })
+    val fixed = PaperRecord.withDefaultCorresponding(unmarked)
+    assert(fixed.authors.head.isCorresponding)
+    assert(fixed.authors.head.role == "First/Corresponding Author")
+    assert(fixed.authors.tail.forall(!_.isCorresponding))
+  }
 }

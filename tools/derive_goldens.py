@@ -12,7 +12,9 @@ Nature/Science fixtures: literal values from the reference worked example
 """
 import re, sys, os
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/golden/triples.tsv")
+# main resources (not test): the kg11 golden-check query reads it at
+# Verify runtime, so the driver's CORRECTNESS gate covers extraction too
+OUT = os.path.join(os.path.dirname(__file__), "..", "src/main/resources/graft/golden/triples.tsv")
 REF = "/root/reference"
 
 def clean_ws(s):
@@ -184,7 +186,11 @@ def emit_science():
          (doc, doc, "publishedOn", "14 August 2025"),
          (doc, doc, "hasAbstract", abstract),
          (doc, doc, "hasNote", "†: These authors contributed equally to this work."),
-         (doc, doc, "hasNote", "*: Corresponding author. Email: tomas.garcia@ox.ac.uk")]
+         (doc, doc, "hasNote", "*: Corresponding author. Email: tomas.garcia@ox.ac.uk"),
+         # A9 funding paragraphs (science_extractor.py:161-166)
+         (doc, doc, "hasFunding", "Funding: National Institutes of Health grant "
+          "R01-DK123456 (to S.O.); Wellcome Trust Investigator Award 21700/Z/20/Z (to T.G.)."),
+         (doc, doc, "hasFunding", "M.-L.C. acknowledges a Stanford Bio-X graduate fellowship.")]
     authors = [
         ("Mei-Ling Chen", "First Author", False, [a1, a2],
          "Conceptualization, Investigation, Writing - original draft"),
