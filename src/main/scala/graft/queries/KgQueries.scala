@@ -194,9 +194,31 @@ object KgQueries {
       .orderBy("pred")
   }
 
+  /** Typed DateType materialization (SURVEY §1.2/§2.6): the extraction
+    * layer carries dates as strings faithful to the page (ISO for
+    * APS/Nature, "14 August 2025" for Science); the relational surface
+    * parses them to a real DateType here — try_to_date (ANSI-safe) over
+    * the two page formats, plus calendar derivations. Value-pinned
+    * DuckDB oracle.
+    */
+  private val kgRecordsDated: Q = (s, _) => {
+    records(s)
+      .select(col("docId").as("doc_id"),
+        coalesce(col("publicationDate.isoDate"), col("publicationDate.formattedDate"))
+          .as("raw_date"))
+      .distinct()
+      .withColumn("pub_date",
+        coalesce(try_to_date(col("raw_date"), "yyyy-MM-dd"),
+          try_to_date(col("raw_date"), "d MMMM yyyy")))
+      .withColumn("pub_year", year(col("pub_date")))
+      .withColumn("pub_quarter", quarter(col("pub_date")))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "kg01_triples" -> kgTriples,
     "kg11_golden_check" -> kgGoldenCheck,
+    "kg12_records_dated" -> kgRecordsDated,
     "kg10_coauthors" -> kgCoauthors,
     "kg09_quarantine" -> kgQuarantine,
     "kg02_ingest_sha" -> kgIngest,
@@ -236,5 +258,18 @@ object KgQueries {
         |  ('publishedIn', 7, 7, 0, 0),
         |  ('publishedOn', 7, 7, 0, 0)
         |) AS t(pred, n_golden, n_extracted, n_missing, n_extra)
-        |ORDER BY pred""".stripMargin)
+        |ORDER BY pred""".stripMargin,
+    "kg12_records_dated" ->
+      """SELECT doc_id, raw_date, pub_date,
+        |  CAST(pub_year AS INT) AS pub_year, CAST(pub_quarter AS INT) AS pub_quarter
+        |FROM (VALUES
+        |  ('10.1103/7x71-8j7k', '2025-08-19', DATE '2025-08-19', 2025, 3),
+        |  ('10.1103/9pbp-jzr9', '2025-07-28', DATE '2025-07-28', 2025, 3),
+        |  ('10.1103/PhysRevB.99.000001', '2024-02-12', DATE '2024-02-12', 2024, 1),
+        |  ('10.1103/PhysRevLett.130.267401', '2023-06-28', DATE '2023-06-28', 2023, 2),
+        |  ('10.1103/pyzr-jmvw', '2025-08-18', DATE '2025-08-18', 2025, 3),
+        |  ('https://www.nature.com/articles/s41567-025-02944-3', '2025-07-28', DATE '2025-07-28', 2025, 3),
+        |  ('https://www.science.org/doi/10.1126/scitranslmed.test01', '14 August 2025', DATE '2025-08-14', 2025, 3)
+        |) AS t(doc_id, raw_date, pub_date, pub_year, pub_quarter)
+        |ORDER BY doc_id""".stripMargin)
 }
