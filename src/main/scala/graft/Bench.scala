@@ -23,14 +23,16 @@ object Bench {
     "q06_filter_pushdown_agg", "q07_window_running", "q08_distinct_agg",
     "q11_events_json_hourly", "q13_rollup", "q15_asof_join", "q17_sessionize",
     "t01_dedup_exact", "t02_token_count", "t03_quality_score", "t04_lang_id",
-    "t08_repetition_ratio", "t09_train_split", "t12_redact",
+    "t06_bpe_tokens", "t08_repetition_ratio", "t09_train_split", "t12_redact",
     "s01_minhash_neardup", "s02_simhash_neardup", "s03_ann_cosine_topk",
-    "s05_multimodal_decode", "s07_ann_ivf_topk")
+    "s04_ann_lsh_topk", "s05_multimodal_decode", "s07_ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "6000").toInt
+    // default sized so the extract stage dominates fixed overheads
+    // (6k pages under-reported steady-state throughput ~2x in round 1)
+    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "60000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

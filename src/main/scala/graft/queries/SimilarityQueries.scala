@@ -335,6 +335,59 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** SQ8 ANN (the memory-bounded scale path): per-vector symmetric int8
+    * scalar quantization — only the byte array + (scale, norm) pair scans
+    * and broadcasts, 4x smaller than float32, which at 100 TB is the
+    * difference between an in-memory candidate scan and spilling — then
+    * a cheap int8 approximate-cosine pass takes top-20 per probe and a
+    * float rerank (exact cosine, shared math with s03) picks the final
+    * top-5. Deterministic; recall + exact-cosine equality vs s03 asserted
+    * in QueriesSpec.
+    */
+  private val annSq8: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
+    val quant = e.map { case (id, v) =>
+      val maxAbs = math.max(v.iterator.map(x => math.abs(x.toDouble)).max, 1e-30)
+      val scale = 127.0 / maxAbs
+      (id, v.map(x => math.round(x * scale).toByte).toArray, scale,
+        math.sqrt(v.iterator.map(x => x.toDouble * x).sum))
+    }.toDF("vec_id", "q", "scale", "norm")
+    val probes = quant.filter(col("vec_id") < 10).select(
+      col("vec_id").as("probe_id"), col("q").as("pq"),
+      col("scale").as("pscale"), col("norm").as("pnorm"))
+    // int8 approximate pass: full scan x broadcast 10-row probe side
+    val approx = quant.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .as[(Long, Array[Byte], Double, Double, Long, Array[Byte], Double, Double)]
+      .map { case (id, q, sc, n, pid, pq, psc, pn) =>
+        var dot = 0L
+        var i = 0
+        val len = math.min(q.length, pq.length)
+        while (i < len) { dot += q(i).toLong * pq(i); i += 1 }
+        (pid, id, dot / (sc * psc) / (n * pn))
+      }.toDF("probe_id", "vec_id", "cos_approx")
+    val wA = Window.partitionBy(col("probe_id")).orderBy(col("cos_approx").desc, col("vec_id"))
+    val candidates = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= 20).select("probe_id", "vec_id")
+    // exact float rerank on the 200 candidates only
+    val ef = embs(dir).withColumn("emb", col("embedding").cast("array<double>"))
+    val pf = ef.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("probe"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+    candidates
+      .join(ef.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .join(broadcast(pf), Seq("probe_id"))
+      .withColumn("cos_raw",
+        dot(col("probe"), col("emb")) /
+          (sqrt(dot(col("probe"), col("probe"))) * sqrt(dot(col("emb"), col("emb")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Multimodal frame-sample + resize plumbing (video/image shape): the
     * blob is treated as fixed-size frames; every 4th frame is sampled
     * and "resized" by the stub codec (real decoders are absent offline —
@@ -379,7 +432,8 @@ object SimilarityQueries {
     "s05_multimodal_decode" -> multimodalStub,
     "s06_embedding_neardup" -> embNeardup,
     "s07_ann_ivf_topk" -> annIvf,
-    "s08_frame_sample" -> frameSample)
+    "s08_frame_sample" -> frameSample,
+    "s09_ann_sq8_rerank" -> annSq8)
 
   val oracle: Map[String, String] = Map(
     "s03_ann_cosine_topk" ->

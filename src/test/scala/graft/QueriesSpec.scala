@@ -119,6 +119,24 @@ class QueriesSpec extends SparkSpec {
     assert(lsh.size >= 45, s"lsh rows: ${lsh.size}")
   }
 
+  test("s09 SQ8 ANN: exact rerank cosines, high recall vs s03 brute force") {
+    val brute = SparkEntry.queries("s03_ann_cosine_topk")(spark, sf)
+      .select("probe_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sq8 = SparkEntry.queries("s09_ann_sq8_rerank")(spark, sf)
+      .select("probe_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = sq8.keySet.intersect(brute.keySet)
+    // rerank uses the same exact-cosine math as s03 -> identical values
+    common.foreach(k => assert(sq8(k) == brute(k), s"cosine mismatch at $k"))
+    val recall = common.size.toDouble / brute.size
+    info(f"SQ8 recall@5 vs brute force: $recall%.3f (int8 scan, top-20 float rerank)")
+    // int8 approx cosine is accurate to ~1/127 per dim and the rerank
+    // window is 4x the answer size — expect near-perfect recall
+    assert(recall >= 0.8, f"recall $recall%.3f")
+    assert(sq8.size >= 45, s"sq8 rows: ${sq8.size}")
+  }
+
   test("q15 as-of join matches the naive join+argmax semantics") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val clicks = ev.filter(col("event_type") === "click")
