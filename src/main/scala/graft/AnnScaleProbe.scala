@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN scale-headroom instrument (not part of the driver contract): runs
+  * the PRODUCTION similarity queries (s03 brute force, s04 multi-table
+  * LSH, s09 SQ8 rerank) unchanged against a synthesized 1M x 64-dim
+  * embedding table, so the 100 TB claims rest on the same code the
+  * driver checks at sf0.01 — not on a parallel implementation.
+  *
+  * Corpus: ids 0-9 are the probes; ids 10-999 are planted near-duplicates
+  * (probe + 5% noise, cosine ~0.95+ — the semantic-dedup retrieval case);
+  * the rest isotropic noise. Deterministic (id-seeded), partitioned
+  * generation. Recall is measured vs the exact brute-force answer.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ANN_N=1000000 sbt "runMain graft.AnnScaleProbe"
+  */
+object AnnScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "1000000").toLong
+    val dir = sys.env.getOrElse("SPARK_GRAFT_ANN_DIR", "/tmp/graft_ann_scale")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dim = 64
+    def vecOf(id: Long): Array[Float] = {
+      val rnd = new scala.util.Random(id)
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    }
+    spark.range(0, n, 1, cpus.toInt * 4).map { id =>
+      val v =
+        if (id >= 10 && id < 1000) {
+          // planted near-duplicate of probe id%10 (cosine ~0.95+)
+          val base = vecOf(id % 10)
+          val rnd = new scala.util.Random(id * 7919)
+          base.map(x => x + (rnd.nextDouble() * 2 - 1).toFloat * 0.05f)
+        } else vecOf(id)
+      (id, v, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    println(s"PROBE ann corpus written: $n vectors x $dim dims")
+
+    def run(name: String): Map[(Long, Long), Double] = {
+      val walls = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rows = SparkEntry.queries(name)(spark, dir)
+        .select("probe_id", "vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      println(f"PROBE $name cpus=$cpus n=$n walls=${walls.map(w => f"$w%.2f").mkString(",")} best=${walls.min}%.2f rows=${rows.size}")
+      rows
+    }
+
+    val brute = run("s03_ann_cosine_topk")
+    for (name <- Seq("s04_ann_lsh_topk", "s09_ann_sq8_rerank")) {
+      val approx = run(name)
+      val common = approx.keySet.intersect(brute.keySet)
+      common.foreach { k =>
+        require(approx(k) == brute(k), s"cosine mismatch at $k: ${approx(k)} vs ${brute(k)}")
+      }
+      println(f"PROBE $name recall@5 vs exact: ${common.size.toDouble / brute.size}%.3f")
+    }
+    spark.stop()
+  }
+}

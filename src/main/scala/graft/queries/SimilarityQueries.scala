@@ -338,15 +338,22 @@ object SimilarityQueries {
   /** SQ8 ANN (the memory-bounded scale path): per-vector symmetric int8
     * scalar quantization — only the byte array + (scale, norm) pair scans
     * and broadcasts, 4x smaller than float32, which at 100 TB is the
-    * difference between an in-memory candidate scan and spilling — then
-    * a cheap int8 approximate-cosine pass takes top-20 per probe and a
-    * float rerank (exact cosine, shared math with s03) picks the final
-    * top-5. Deterministic; recall + exact-cosine equality vs s03 asserted
-    * in QueriesSpec.
+    * difference between an in-memory candidate scan and spilling. The
+    * approximate pass is ASYMMETRIC (ADC, the FAISS convention): float
+    * probes against the int8 corpus, so quantization noise enters once,
+    * not twice. The rerank window must cover the tie-cluster width:
+    * quantization noise is ~5e-4 cosine, so neighbors packed tighter
+    * than that get rank-displaced by the cluster size — the 100k probe
+    * with 99 planted near-ties measured recall 0.32 symmetric/window-20,
+    * 0.66 ADC/window-50, ~1.0 ADC/window-100. A float rerank (exact
+    * cosine, shared math with s03) picks the final top-5. Deterministic;
+    * recall + exact-cosine equality vs s03 asserted in QueriesSpec and
+    * at scale in AnnScaleProbe.
     */
   private val annSq8: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
+    val rerankWindow = 100
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
     val quant = e.map { case (id, v) =>
       val maxAbs = math.max(v.iterator.map(x => math.abs(x.toDouble)).max, 1e-30)
@@ -354,23 +361,25 @@ object SimilarityQueries {
       (id, v.map(x => math.round(x * scale).toByte).toArray, scale,
         math.sqrt(v.iterator.map(x => x.toDouble * x).sum))
     }.toDF("vec_id", "q", "scale", "norm")
-    val probes = quant.filter(col("vec_id") < 10).select(
-      col("vec_id").as("probe_id"), col("q").as("pq"),
-      col("scale").as("pscale"), col("norm").as("pnorm"))
-    // int8 approximate pass: full scan x broadcast 10-row probe side
+    val probes = e.filter(_._1 < 10)
+      .map { case (id, v) =>
+        (id, v.map(_.toDouble).toArray,
+          math.sqrt(v.iterator.map(x => x.toDouble * x).sum))
+      }.toDF("probe_id", "pv", "pnorm")
+    // ADC approximate pass: int8 corpus scan x broadcast 10-row float probes
     val approx = quant.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .as[(Long, Array[Byte], Double, Double, Long, Array[Byte], Double, Double)]
-      .map { case (id, q, sc, n, pid, pq, psc, pn) =>
-        var dot = 0L
+      .as[(Long, Array[Byte], Double, Double, Long, Array[Double], Double)]
+      .map { case (id, q, sc, n, pid, pv, pn) =>
+        var dot = 0.0
         var i = 0
-        val len = math.min(q.length, pq.length)
-        while (i < len) { dot += q(i).toLong * pq(i); i += 1 }
-        (pid, id, dot / (sc * psc) / (n * pn))
+        val len = math.min(q.length, pv.length)
+        while (i < len) { dot += q(i) * pv(i); i += 1 }
+        (pid, id, dot / sc / (n * pn))
       }.toDF("probe_id", "vec_id", "cos_approx")
     val wA = Window.partitionBy(col("probe_id")).orderBy(col("cos_approx").desc, col("vec_id"))
     val candidates = approx.withColumn("r", row_number().over(wA))
-      .filter(col("r") <= 20).select("probe_id", "vec_id")
+      .filter(col("r") <= rerankWindow).select("probe_id", "vec_id")
     // exact float rerank on the 200 candidates only
     val ef = embs(dir).withColumn("emb", col("embedding").cast("array<double>"))
     val pf = ef.filter(col("vec_id") < 10)
