@@ -130,11 +130,44 @@ class QueriesSpec extends SparkSpec {
     // rerank uses the same exact-cosine math as s03 -> identical values
     common.foreach(k => assert(sq8(k) == brute(k), s"cosine mismatch at $k"))
     val recall = common.size.toDouble / brute.size
-    info(f"SQ8 recall@5 vs brute force: $recall%.3f (int8 scan, top-20 float rerank)")
+    info(f"SQ8 recall@5 vs brute force: $recall%.3f (int8 ADC scan, top-100 float rerank)")
     // int8 approx cosine is accurate to ~1/127 per dim and the rerank
     // window is 4x the answer size — expect near-perfect recall
     assert(recall >= 0.8, f"recall $recall%.3f")
     assert(sq8.size >= 45, s"sq8 rows: ${sq8.size}")
+  }
+
+  test("s06 embedding near-dup: high recall and exact values vs brute-force pairs") {
+    // exact answer: all pairs with cosine >= 0.3, computed driver-side
+    // (500 vectors at sf0.001 -> 125k pairs, trivial)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      c = cos(vecs(i)._2, vecs(j)._2)
+      rc = math.floor(c * 1e6 + 0.5) / 1e6 // same 6-dp rounding as the query
+      if rc >= 0.3
+    } yield (vecs(i)._1, vecs(j)._1) -> rc).toMap
+    val got = SparkEntry.queries("s06_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0: every reported pair is a true pair with the exact cosine
+    got.foreach { case (k, v) =>
+      assert(exact.contains(k), s"false positive $k")
+      assert(math.abs(exact(k) - v) < 1e-9, s"cosine mismatch at $k")
+    }
+    val recall = got.size.toDouble / exact.size
+    info(f"s06 recall vs exact all-pairs (cos>=0.3): $recall%.3f (${got.size}/${exact.size})")
+    // the round-1 single-table LSH missed ~98%% of true pairs; the
+    // multi-table+multiprobe blocking must catch nearly all
+    assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
   test("q15 as-of join matches the naive join+argmax semantics") {
