@@ -82,26 +82,38 @@ object SimilarityQueries {
     sig
   }
 
-  /** SimHash near-dups: fingerprint -> 4x16-bit bands -> bucket self-join
-    * -> Hamming distance <= 6 verified (the band join is the candidate
-    * filter, the Hamming check is authoritative).
+  /** SimHash near-dups with GUARANTEED recall at the threshold (the
+    * Manku/Google simhash-dedup table design): the 64-bit fingerprint
+    * splits into 8 blocks of 8 bits; 28 tables key on every block PAIR
+    * (16 bits each). A pair at Hamming distance <= 6 touches at most 6
+    * blocks, leaving >= 2 clean — so the table keyed on that clean pair
+    * always produces the candidate (recall 1.0 by pigeonhole, asserted
+    * vs brute force in QueriesSpec; the previous 4x16-band design
+    * measured 0.656 — Hamming-4..6 pairs can spread across all 4 bands).
+    * The Hamming check on the full fingerprint stays authoritative.
     *
     * Fingerprint is the native Catalyst expression
-    * [[graft.functions.SimHash64]] and banding is pure Column bit math,
-    * so the whole pre-join side stays inside WholeStageCodegen (no typed
-    * map, no object SerDe).
+    * [[graft.functions.SimHash64]] and table keying is pure Column bit
+    * math, so the whole pre-join side stays inside WholeStageCodegen (no
+    * typed map, no object SerDe). 16-bit keys keep buckets discriminative
+    * at scale; the shuffle carries 28 small (id, tbl, key, fp) rows per
+    * doc — never content.
     */
   private val simhashDedup: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val fp = docs(dir).select(col("doc_id"),
       graft.functions.SimHash64.simhash64(col("text")).as("fp"))
+    def block(i: Int): Column =
+      shiftrightunsigned(col("fp"), i * 8).bitwiseAND(lit(0xffL))
+    val blockPairs = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
     val banded = fp.select(col("doc_id"), col("fp"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        explode(array(blockPairs.zipWithIndex.map { case ((i, j), t) =>
+          struct(lit(t).as("tbl"), (block(i) * 256 + block(j)).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.tbl").as("tbl"), col("bk.bkey").as("bkey"))
     banded.as("l").join(banded.as("r"),
-        $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
+        $"l.tbl" === $"r.tbl" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b"),
         bit_count($"l.fp".bitwiseXOR($"r.fp")).as("hamming"))
       .distinct()

@@ -170,6 +170,56 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
+  test("s01 minhash near-dup: recall and exact Jaccard vs brute-force pairs") {
+    import graft.queries.SimilarityQueries.wordShingles
+    import graft.stages.EntityLink.jaccard
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> wordShingles(r.getString(1))).sortBy(_._1)
+    val exact = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      jac = jaccard(docs(i)._2, docs(j)._2)
+      if jac >= 0.8
+    } yield (docs(i)._1, docs(j)._1) -> jac).toMap
+    val got = SparkEntry.queries("s01_minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (k, v) =>
+      assert(exact.contains(k), s"false positive $k")
+      assert(exact(k) == v, s"jaccard mismatch at $k")
+    }
+    info(f"s01 recall vs exact all-pairs (J>=0.8): ${got.size}/${exact.size}")
+    // 16 bands x 4 rows: P(candidate) = 1-(1-J^4)^16 >= 0.9998 at J=0.8
+    assert(exact.nonEmpty, "corpus has no true near-dup pairs — test is vacuous")
+    assert(got.size.toDouble / exact.size >= 0.9)
+  }
+
+  test("s02 simhash near-dup: recall vs brute-force Hamming pairs") {
+    import graft.queries.SimilarityQueries.simhash64
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> simhash64(r.getString(1))).sortBy(_._1)
+    val exact = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      h = java.lang.Long.bitCount(docs(i)._2 ^ docs(j)._2)
+      if h <= 6
+    } yield (docs(i)._1, docs(j)._1) -> h).toMap
+    val got = SparkEntry.queries("s02_simhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    got.foreach { case (k, v) =>
+      assert(exact.contains(k), s"false positive $k")
+      assert(exact(k) == v, s"hamming mismatch at $k")
+    }
+    info(f"s02 recall vs exact all-pairs (Hamming<=6): ${got.size}/${exact.size}")
+    assert(exact.nonEmpty, "corpus has no true near-dup pairs — test is vacuous")
+    // 28 block-pair tables guarantee capture at Hamming <= 6 by
+    // pigeonhole (<= 6 dirty blocks of 8 leave a clean keyed pair):
+    // recall must be EXACTLY 1.0, and the sets identical
+    assert(got.keySet == exact.keySet,
+      s"missing: ${(exact.keySet -- got.keySet).take(5)}")
+  }
+
   test("q15 as-of join matches the naive join+argmax semantics") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val clicks = ev.filter(col("event_type") === "click")
