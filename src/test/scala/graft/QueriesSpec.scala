@@ -260,6 +260,31 @@ class QueriesSpec extends SparkSpec {
     assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
   }
 
+  test("t07 fingerprint groups equal the driver-side rolling-hash computation") {
+    // the operator is non-SQL (no DuckDB oracle) — pin its values against
+    // an independent driver-side evaluation of the same polynomial hash
+    def fp(t: String): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+      h
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> fp(r.getString(1)))
+    val expected = docs.groupBy(_._2).map { case (h, rows) =>
+      h -> (rows.map(_._1).min, rows.length.toLong)
+    }
+    val got = SparkEntry.queries("t07_fingerprint")(spark, sf).collect()
+      .map(r => r.getAs[Long]("fingerprint") ->
+        (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("n_docs"))).toMap
+    assert(got == expected)
+    // mass conservation: every doc lands in exactly one group (the
+    // synthetic corpus happens to be exact-dup-free, so groups == docs;
+    // grouping behavior under real dups is covered by t01's oracle)
+    assert(got.values.map(_._2).sum == docs.length)
+  }
+
   test("t09 split is a deterministic partition of the corpus") {
     val rows = SparkEntry.queries("t09_train_split")(spark, sf).collect()
     val bySplit = rows.groupBy(_.getAs[String]("split"))
