@@ -25,8 +25,9 @@ object AnnScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // heap comes from build.sbt's forked -Xmx (SPARK_DRIVER_MEM env);
+      // setting spark.driver.memory after JVM start would be a no-op
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -41,8 +41,9 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // heap comes from build.sbt's forked -Xmx (SPARK_DRIVER_MEM env);
+      // setting spark.driver.memory after JVM start would be a no-op
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftUdfs.register(spark)
@@ -101,12 +102,16 @@ object Bench {
       }._2
     }.min
 
+    // Locale.ROOT: the f interpolator uses the JVM default locale — a
+    // decimal-comma locale would emit invalid JSON the driver can't parse
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val qs = (results ++ Seq("kg_extract_pipeline" -> kgSec, "kg_entity_link" -> linkSec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val fails = repFailures.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec + linkSec
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rep_failures":$fails,"sf":"$sfDir","cpus":$cpus,"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${f"$tps%.1f"}}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"rep_failures":$fails,"sf":"$sfDir","cpus":$cpus,"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${num(tps, 1)}}"""
     // the driver machine-parses this JSON; under sbt, stdout lines get an
     // "[info] " prefix and trailing [success] lines follow — so (a) write
     // it to a file and (b) print it AFTER spark.stop() so no Spark

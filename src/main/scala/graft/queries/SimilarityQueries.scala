@@ -146,6 +146,36 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Shared multi-table hyperplane-LSH core (s04 probe-ANN + s06
+    * near-dup blocking — one copy so a fix to the occupancy formula or
+    * the projection loop can't silently drift between the two).
+    * `lshBits` scales bucket count so expected occupancy stays ~32 at
+    * any corpus size.
+    */
+  private def lshBits(n: Long): Int =
+    math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+
+  private def lshPlanes(seedBase: Int, tables: Int, bits: Int,
+      dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables) { t =>
+      val rnd = new scala.util.Random(seedBase + t)
+      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+
+  private def lshBucket(v: Seq[Float], planes: Array[Array[Double]]): Int = {
+    var key = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var acc = 0.0
+      var i = 0
+      while (i < plane.length && i < v.length) { acc += plane(i) * v(i); i += 1 }
+      if (acc > 0) key |= (1 << p)
+      p += 1
+    }
+    key
+  }
+
   /** ANN scale path: OR-amplified multi-table hyperplane LSH with
     * 1-bit multiprobe. L tables of `bits` signed random projections;
     * every corpus vector lands in ONE bucket per table (L small
@@ -163,36 +193,20 @@ object SimilarityQueries {
   private val annLsh: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
-    val dim = 64
     val tables = 8
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
     // parquet row-group metadata count — no data scan
     val n = embs(dir).count()
-    val bits = math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
-    val planes: Array[Array[Array[Double]]] = Array.tabulate(tables) { t =>
-      val rnd = new scala.util.Random(7000 + t)
-      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    }
-    def bucketOf(v: Seq[Float], t: Int): Int = {
-      var key = 0
-      var p = 0
-      while (p < bits) {
-        var acc = 0.0
-        var i = 0
-        while (i < dim && i < v.length) { acc += planes(t)(p)(i) * v(i); i += 1 }
-        if (acc > 0) key |= (1 << p)
-        p += 1
-      }
-      key
-    }
+    val bits = lshBits(n)
+    val planes = lshPlanes(7000, tables, bits, dim = 64)
     val corpus = e.flatMap { case (id, v) =>
-      (0 until tables).map(t => (id, v, t, bucketOf(v, t)))
+      (0 until tables).map(t => (id, v, t, lshBucket(v, planes(t))))
     }.toDF("vec_id", "embedding", "tbl", "bucket")
     // probes: own bucket + every 1-bit flip (multiprobe) per table;
     // 10 probes x 8 tables x (bits+1) rows -> trivially broadcastable
     val probes = e.filter(_._1 < 10).flatMap { case (id, v) =>
       (0 until tables).flatMap { t =>
-        val k = bucketOf(v, t)
+        val k = lshBucket(v, planes(t))
         (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, v, t, kk))
       }
     }.toDF("probe_id", "probe", "tbl", "bucket")
@@ -250,36 +264,20 @@ object SimilarityQueries {
   private val embNeardup: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
-    val dim = 64
     val tables = 8
     val n = embs(dir).count()
-    val bits = math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
-    val planes: Array[Array[Array[Double]]] = Array.tabulate(tables) { t =>
-      val rnd = new scala.util.Random(1100 + t)
-      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    }
-    def bucketOf(v: Seq[Float], t: Int): Int = {
-      var key = 0
-      var p = 0
-      while (p < bits) {
-        var acc = 0.0
-        var i = 0
-        while (i < dim && i < v.length) { acc += planes(t)(p)(i) * v(i); i += 1 }
-        if (acc > 0) key |= (1 << p)
-        p += 1
-      }
-      key
-    }
+    val bits = lshBits(n)
+    val planes = lshPlanes(1100, tables, bits, dim = 64)
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
     val exact = e.flatMap { case (id, v) =>
-      (0 until tables).map(t => (id, v, t, bucketOf(v, t)))
+      (0 until tables).map(t => (id, v, t, lshBucket(v, planes(t))))
     }.toDF("vec_id", "embedding", "tbl", "bucket")
     // multiprobe side: own bucket + every 1-bit flip; with l.vec_id <
     // r.vec_id, (a flipped) meeting (b exact) covers every unordered pair
     // at Hamming distance <= 1 per table
     val probed = e.flatMap { case (id, v) =>
       (0 until tables).flatMap { t =>
-        val k = bucketOf(v, t)
+        val k = lshBucket(v, planes(t))
         (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, v, t, kk))
       }
     }.toDF("vec_id", "embedding", "tbl", "bucket")
@@ -418,7 +416,7 @@ object SimilarityQueries {
     val wA = Window.partitionBy(col("probe_id")).orderBy(col("cos_approx").desc, col("vec_id"))
     val candidates = approx.withColumn("r", row_number().over(wA))
       .filter(col("r") <= rerankWindow).select("probe_id", "vec_id")
-    // exact float rerank on the 200 candidates only
+    // exact float rerank on the (10 probes x rerankWindow) candidates only
     val ef = embs(dir).withColumn("emb", col("embedding").cast("array<double>"))
     val pf = ef.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("emb").as("probe"))

@@ -37,7 +37,20 @@ object Sessionize {
   private def close(user: Long, s: Open): SessionOut =
     SessionOut(user, s.startUs, s.endUs, s.n, math.floor(s.total * 100 + 0.5) / 100)
 
-  /** State transition for one user and one micro-batch of its events. */
+  /** State transition for one user and one micro-batch of its events.
+    *
+    * The batch's events and the open session are merged as time-sorted
+    * intervals and re-sessionized in one fold — the same computation the
+    * batch plan performs — so cross-batch out-of-order events inside the
+    * watermark keep stream/batch parity: a late event can extend the
+    * open session backwards, two late events can merge with each other,
+    * and a bridging event can pull an earlier late event into the open
+    * session. Everything but the most-recent session is emitted; that
+    * one stays open in state. Remaining limitation (inherent to
+    * append-mode streaming): an event late enough to belong to an
+    * already-EMITTED session cannot reopen it — bound lateness with the
+    * watermark delay.
+    */
   def stateFn(gapUs: Long)(user: Long, events: Iterator[Event],
       state: GroupState[Open]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
@@ -45,36 +58,18 @@ object Sessionize {
       state.remove()
       out
     } else {
-      val sorted = events.toArray.sortBy(e => (e.us, e.value))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var open = state.getOption
-      sorted.foreach { e =>
-        open match {
-          case Some(s) if e.us - s.endUs <= gapUs && s.startUs - e.us <= gapUs =>
-            // in-gap — including cross-batch out-of-order events still
-            // inside the watermark tolerance, which can land BEFORE the
-            // open session's end: extend both ends, never regress endUs
-            // (a naive endUs := e.us would emit a wrong session_end and
-            // make later gap checks compare against the regressed end,
-            // splitting sessions the batch plan merges)
-            open = Some(Open(math.min(s.startUs, e.us), math.max(s.endUs, e.us),
-              s.n + 1, s.total + e.value))
-          case Some(s) if e.us > s.endUs =>
-            out += close(user, s)
-            open = Some(Open(e.us, e.us, 1, e.value))
-          case Some(_) =>
-            // late event more than a gap BEFORE the open session: it can
-            // never join it, so it forms its own already-gap-complete
-            // session. Remaining limitation (inherent to append-mode
-            // streaming): an event late enough to belong to an
-            // already-EMITTED session cannot reopen it — bound lateness
-            // with the watermark delay.
-            out += close(user, Open(e.us, e.us, 1, e.value))
-          case None =>
-            open = Some(Open(e.us, e.us, 1, e.value))
-        }
-      }
-      open.foreach { s =>
+      // intervals: the open session (if any) + each event as a point,
+      // time-ordered; adjacent intervals within the gap merge
+      val items = (state.getOption.toSeq ++
+          events.toArray.sortBy(e => (e.us, e.value)).map(e => Open(e.us, e.us, 1, e.value)))
+        .sortBy(s => (s.startUs, s.endUs))
+      val merged = items.foldLeft(List.empty[Open]) {
+        case (cur :: done, s) if s.startUs - cur.endUs <= gapUs =>
+          Open(cur.startUs, math.max(cur.endUs, s.endUs),
+            cur.n + s.n, cur.total + s.total) :: done
+        case (acc, s) => s :: acc
+      }.reverse
+      merged.lastOption.foreach { s =>
         state.update(s)
         // timeout when the watermark passes end-of-session + gap; must be
         // strictly ahead of the current watermark or Spark rejects it
@@ -82,7 +77,7 @@ object Sessionize {
           state.getCurrentWatermarkMs() + 1)
         state.setTimeoutTimestamp(tsMs)
       }
-      out.iterator
+      merged.dropRight(1).map(close(user, _)).iterator
     }
   }
 

@@ -82,6 +82,47 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events merge with each other and can bridge into the open session") {
+    // gap (60 s) << watermark (10 min): late events can land more than a
+    // gap before the open session — the greedy fold used to emit each as
+    // its own singleton session, diverging from batch
+    import spark.implicits._
+    val shortGapUs = 60L * 1000000
+    val dir = Files.createTempDirectory("graft-sessions-late").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      rows.toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    // user 1: open session at 12:00; late pair 11:55:00/11:55:30 must
+    // merge into ONE earlier session (not two singletons).
+    // user 2: open session at 12:00; late 11:58:45 bridged by 11:59:30
+    // must merge INTO the open session (one session overall).
+    write(Seq((1L, ts(0), 1.0), (2L, ts(0), 1.0)))
+    write(Seq((1L, ts(-300), 2.0), (1L, ts(-270), 3.0),
+      (2L, ts(-75), 2.0), (2L, ts(-30), 3.0)))
+    write(Seq((-1L, ts(3600L * 24 * 40), 0.0))) // watermark flush sentinel
+
+    val src = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Sessionize.sessionizeStream(src, shortGapUs).writeStream
+      .format("memory").queryName("sessions_late").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sessions_late WHERE user_id >= 0")
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      val batch = Sessionize.sessionizeBatch(
+          spark.read.parquet(dir).filter(col("user_id") >= 0), shortGapUs)
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      assert(streamed.map(_.toString) == batch.map(_.toString),
+        s"streamed=$streamed batch=$batch")
+      val byUser = streamed.groupBy(_.getLong(0))
+      assert(byUser(1L).size == 2, byUser(1L).toString) // merged pair + open
+      assert(byUser(2L).size == 1, byUser(2L).toString) // bridged into one
+    } finally q.stop()
+  }
+
   test("state is bounded: one Open struct per active user") {
     // structural property of the operator: the state value is a fixed-size
     // struct, independent of how many events the session absorbed
