@@ -1,9 +1,11 @@
 package graft.exec
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.charset.StandardCharsets
 
 /** Stage checkpointing + per-partition lineage (north-rule resumability).
   *
@@ -24,13 +26,37 @@ import java.nio.file.{Files, Paths}
 final case class Checkpoint(root: String, runId: String) {
 
   private def stageDir(stage: String) = s"$root/$stage"
-  private def marker(stage: String) = Paths.get(s"${stageDir(stage)}/_SUCCESS_SNAPSHOT")
+  private def marker(stage: String) = new HPath(s"${stageDir(stage)}/_SUCCESS_SNAPSHOT")
+  private def schemaFile(stage: String) = new HPath(s"${stageDir(stage)}/_SCHEMA.json")
 
-  def completedSnapshot(stage: String): Option[String] =
-    if (Files.exists(marker(stage))) Some(Files.readString(marker(stage)).trim) else None
+  // Markers live on the SAME filesystem as the stage data (resolved from
+  // the root URI via the Hadoop FileSystem API) — java.nio on the driver
+  // would silently never see markers when root is hdfs://..., making
+  // resume a no-op on a real cluster.
+  private def fs(spark: SparkSession): FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def isComplete(stage: String, snapshotId: String): Boolean =
-    completedSnapshot(stage).contains(snapshotId)
+  private def readSmall(spark: SparkSession, p: HPath): Option[String] = {
+    val f = fs(spark)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeSmall(spark: SparkSession, p: HPath, content: String): Unit = {
+    val out = fs(spark).create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def completedSnapshot(spark: SparkSession, stage: String): Option[String] =
+    readSmall(spark, marker(stage)).map(_.trim)
+
+  def isComplete(spark: SparkSession, stage: String, snapshotId: String): Boolean =
+    completedSnapshot(spark, stage).contains(snapshotId)
 
   /** Run `compute` unless this (stage, snapshotId) already committed;
     * either way return the stage's data as a DataFrame read from the
@@ -38,7 +64,7 @@ final case class Checkpoint(root: String, runId: String) {
     */
   def stage(spark: SparkSession, stageName: String, snapshotId: String,
       partitionByCols: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
-    if (!isComplete(stageName, snapshotId)) {
+    if (!isComplete(spark, stageName, snapshotId)) {
       val t0 = System.nanoTime()
       val df = compute
       // Per-partition lineage rows collected on executors during the write
@@ -65,10 +91,17 @@ final case class Checkpoint(root: String, runId: String) {
         .withColumn("wallMs", lit(wallMs))
       lineage.write.mode("overwrite").parquet(s"${stageDir(stageName)}/lineage")
       withPart.unpersist()
-      Files.createDirectories(marker(stageName).getParent)
-      Files.writeString(marker(stageName), snapshotId)
+      // schema sidecar BEFORE the marker: an empty partitioned stage
+      // writes no schema-bearing parquet file, so the read-back below
+      // (and in every resumed run) needs the recorded schema to avoid an
+      // inference failure
+      writeSmall(spark, schemaFile(stageName), withPart.drop("__pid").schema.json)
+      writeSmall(spark, marker(stageName), snapshotId)
     }
-    spark.read.parquet(s"${stageDir(stageName)}/data")
+    val reader = readSmall(spark, schemaFile(stageName))
+      .map(j => spark.read.schema(DataType.fromJson(j).asInstanceOf[StructType]))
+      .getOrElse(spark.read)
+    reader.parquet(s"${stageDir(stageName)}/data")
   }
 
   def lineage(spark: SparkSession, stageName: String): DataFrame =

@@ -20,9 +20,23 @@ object SkewSafeJoin {
     */
   def salt(saltBuckets: Int) = (rand(42) * lit(saltBuckets)).cast("int")
 
-  /** big ⋈ small on `key`, with the big side salted. */
+  /** big ⋈ small on `key`, with the big side salted.
+    *
+    * Only probe-preserving join types are legal: the build side is
+    * replicated `saltBuckets` times pre-join, so a right/full outer join
+    * would keep every replica of an unmatched build row — saltBuckets
+    * duplicates where the plain join yields one. Flip the arguments (or
+    * use the plain join) for build-preserving semantics.
+    */
+  private val probePreserving =
+    Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+
   def join(big: DataFrame, small: DataFrame, key: String, saltBuckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    require(probePreserving(joinType.toLowerCase.replace(" ", "_")),
+      s"salted join only supports probe-preserving join types, got '$joinType' " +
+        "(a right/full outer join would duplicate unmatched build rows per salt)")
     val salted = big.withColumn("__salt", salt(saltBuckets))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -74,8 +74,14 @@ object ApsHtmlRules {
     """<meta[^>]*name="citation_doi"[^>]*content="([^"]*)"""")
 
   // --- strategy 1: detailed authors-wrapper ---
+  // Fallback alternative (no closing sentinel) is BOUNDED at the next
+  // section-level element instead of end-of-document: an unbounded (.*)
+  // would sweep 'Cited by'/related-article author links and unrelated
+  // no-bullet lists from the rest of the page into the author parse (the
+  // reference scopes via the BS4 element subtree, which ends with the
+  // wrapper div).
   private val wrapperPat = Pattern.compile(
-    """<div[^>]*class="[^"]*authors-wrapper[^"]*"[^>]*>(.*?)</div>\s*<!--/authors-wrapper-->|<div[^>]*class="[^"]*authors-wrapper[^"]*"[^>]*>(.*)""",
+    """<div[^>]*class="[^"]*authors-wrapper[^"]*"[^>]*>(.*?)</div>\s*<!--/authors-wrapper-->|<div[^>]*class="[^"]*authors-wrapper[^"]*"[^>]*>(.*?)(?=<h2|<section|<footer|<div[^>]*class="[^"]*(?:references|cited|related)|$)""",
     Pattern.DOTALL)
   private val authorAnchorPat = Pattern.compile(
     """<a href="[^"]*/search/field/author/[^"]*"[^>]*>(.*?)</a>\s*(?:<sup>(.*?)</sup>)?""",
@@ -146,9 +152,13 @@ object ApsHtmlRules {
     }.getOrElse(Seq.empty)
   }
 
+  // meta content attributes are entity-encoded HTML like everything else
+  // (BS4 decodes them; '&amp;' in a title must come back as '&')
+  private def metaText(v: String): String = Text.cleanWs(Text.decodeEntities(v))
+
   private def parseMeta(html: String): Seq[(String, Seq[String], Seq[String])] = {
-    val names = allGroups(metaAuthorPat, html).map(Text.cleanWs)
-    val affs = allGroups(metaAffilPat, html).map(Text.cleanWs)
+    val names = allGroups(metaAuthorPat, html).map(metaText)
+    val affs = allGroups(metaAffilPat, html).map(metaText)
     if (names.isEmpty) Seq.empty
     else if (affs.nonEmpty && affs.length == names.length)
       names.zip(affs).map { case (n, a) => (n, Seq(a), Seq.empty[String]) } // J4 guarded zip
@@ -163,12 +173,12 @@ object ApsHtmlRules {
   def parse(html: String, sourcePath: String): PaperRecord = {
     val title = titlePats.iterator.flatMap(p => firstGroup(p, html)).map(tagStrip)
       .find(_.nonEmpty)
-      .orElse(firstGroup(metaTitlePat, html).map(_.trim).filter(_.nonEmpty))
+      .orElse(firstGroup(metaTitlePat, html).map(metaText).filter(_.nonEmpty))
 
     val journal = journalClassPats.iterator.flatMap(p => firstGroup(p, html)).map(tagStrip)
       .find(_.nonEmpty)
-      .orElse(firstGroup(metaJournalPat, html).map(_.trim).filter(_.nonEmpty))
-      .orElse(firstGroup(metaSitePat, html).map(_.trim).filter(_.nonEmpty))
+      .orElse(firstGroup(metaJournalPat, html).map(metaText).filter(_.nonEmpty))
+      .orElse(firstGroup(metaSitePat, html).map(metaText).filter(_.nonEmpty))
       .getOrElse("Physical Review (APS)")
 
     val dateStr = firstGroup(pubInfoPat, html).map(tagStrip)

@@ -26,7 +26,12 @@ object LlmResponseParser {
     * reproduced with a length guard, then strip (Python .strip()).
     */
   def columns(response: Column): Seq[Column] = fields.map { case (name, rx) =>
-    when(response.rlike(rx), trim(regexp_extract(response, rx, 1)))
+    // regexp-based strip, not trim(): Spark trim removes only 0x20
+    // spaces while Python .strip() (the reference and parse() below)
+    // removes all whitespace — a multi-line capture ending in "\n\n"
+    // must strip identically on both surfaces
+    when(response.rlike(rx),
+        regexp_replace(regexp_extract(response, rx, 1), "^\\s+|\\s+$", ""))
       .otherwise(lit("N/A")).as(name)
   }
 

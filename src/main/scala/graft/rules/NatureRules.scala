@@ -95,8 +95,11 @@ object NatureRules {
 
   def journalName(html: String): String = {
     val generic = Set("Nature", "nature.com")
-    firstGroup(metaJournalPat, html).map(_.trim).filter(v => v.nonEmpty && !generic(v))
-      .orElse(firstGroup(metaSitePat, html).map(_.trim).filter(v => v.nonEmpty && !generic(v)))
+    // meta content is entity-encoded like all HTML (decode '&amp;' etc.)
+    firstGroup(metaJournalPat, html).map(v => Text.decodeEntities(v).trim)
+      .filter(v => v.nonEmpty && !generic(v))
+      .orElse(firstGroup(metaSitePat, html).map(v => Text.decodeEntities(v).trim)
+        .filter(v => v.nonEmpty && !generic(v)))
       .orElse(journalClassPats.iterator
         .flatMap(p => firstGroup(p, html)).map(tagStrip)
         .find(v => v.nonEmpty && !generic(v)))

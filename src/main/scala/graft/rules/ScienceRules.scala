@@ -32,9 +32,12 @@ object ScienceRules {
     Text.cleanWs(Text.decodeEntities(html.replaceAll("<[^>]+>", " ")))
 
   // One author block = everything from its opening tag up to the next
-  // author block or the end of the contributors section.
+  // author block or the end of the contributors section. The opening tag
+  // may carry other attributes in any order (real science.org markup is
+  // e.g. <div class="core-author" property="author" typeof="Person"> —
+  // the reference's [property='author'] CSS selector is order-agnostic).
   private val authorBlockPat = Pattern.compile(
-    """<div property="author">(.*?)(?=<div property="author">|<section|</section>)""",
+    """<div[^>]*property="author"[^>]*>(.*?)(?=<div[^>]*property="author"[^>]*>|<section|</section>)""",
     Pattern.DOTALL)
   private val givenPat = Pattern.compile(
     """<span[^>]*property="givenName"[^>]*>(.*?)</span>""", Pattern.DOTALL)
@@ -96,8 +99,9 @@ object ScienceRules {
   def journalName(html: String): String = {
     val generic = Set("science.org", "science")
     def ok(v: String) = v.nonEmpty && !generic(v.toLowerCase)
-    firstGroup(metaJournalPat, html).map(_.trim).filter(ok)
-      .orElse(firstGroup(metaSitePat, html).map(_.trim).filter(ok))
+    // meta content is entity-encoded like all HTML (decode '&amp;' etc.)
+    firstGroup(metaJournalPat, html).map(v => Text.decodeEntities(v).trim).filter(ok)
+      .orElse(firstGroup(metaSitePat, html).map(v => Text.decodeEntities(v).trim).filter(ok))
       .orElse(journalClassPats.iterator.flatMap(p => firstGroup(p, html)).map(tagStrip).find(ok))
       .getOrElse("Science")
   }

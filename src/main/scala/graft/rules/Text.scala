@@ -20,14 +20,18 @@ object Text {
   def cleanWs(s: String): String =
     if (s == null || s.isEmpty) "" else ws.matcher(s.trim).replaceAll(" ")
 
-  /** Minimal HTML entity decode for the fixture HTML shapes. */
+  /** Minimal HTML entity decode for the fixture HTML shapes.
+    * `&amp;` decodes LAST: decoding it first would double-decode escaped
+    * entities (`&amp;lt;` must yield the literal text `&lt;`, not `<` —
+    * matching how a real HTML parser decodes exactly one level).
+    */
   def decodeEntities(s: String): String =
-    s.replace("&amp;", "&")
-      .replace("&lt;", "<")
+    s.replace("&lt;", "<")
       .replace("&gt;", ">")
       .replace("&quot;", "\"")
       .replace("&#39;", "'")
       .replace("&nbsp;", " ")
+      .replace("&amp;", "&")
 
   /** Strip markdown inline links: `[label](url)` -> `label`. */
   private val mdLink = Pattern.compile("\\[([^\\]]*)\\]\\([^)]*\\)")

@@ -115,6 +115,13 @@ object Canonicalize {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // same logged-never-silent policy as the LSH bucket purge: labels
+      // returned below are partially propagated — one true component may
+      // carry several canonicalIds. Raise maxIter (rounds needed grow
+      // O(log diameter) with pointer jumping).
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did NOT converge in $maxIter rounds — labels are partial")
     sym.unpersist()
     labels.select(col("id"), col("label").as("canonicalId"))
   }

@@ -16,14 +16,21 @@ object Ingest {
   def withSha(files: Dataset[SourceFile]): DataFrame =
     files.withColumn("sha256", sha2(col("content"), 256))
 
-  /** @return number of rows whose sha256 disagrees with the manifest
-    * (path -> expected sha). 0 = invariant holds.
+  /** @return number of violations against the manifest (path ->
+    * expected sha). 0 = invariant holds. Two-way: a file with a wrong or
+    * unknown sha AND a manifest entry whose file is absent from the
+    * input both count — a lost file must not pass silently.
     */
   def manifestViolations(files: Dataset[SourceFile], manifest: DataFrame): Long = {
     // manifest: (path, expected_sha); broadcast — it is metadata-sized.
-    withSha(files).select("path", "sha256")
+    val f = withSha(files).select("path", "sha256")
+    val mismatched = f
       .join(broadcast(manifest), Seq("path"), "left")
       .filter(col("expected_sha").isNull || col("expected_sha") =!= col("sha256"))
       .count()
+    val present = f.join(broadcast(manifest.select("path")), Seq("path"))
+      .select("path").distinct().count()
+    val missing = manifest.select("path").distinct().count() - present
+    mismatched + missing
   }
 }

@@ -72,6 +72,17 @@ class GoldenTripleSpec extends SparkSpec {
     val files = FixtureCorpus.corpus(spark, n, 4)
     val manifest = FixtureCorpus.manifest(n).toSeq.toDF("path", "expected_sha")
     assert(graft.stages.Ingest.manifestViolations(files, manifest) == 0)
+
+    // the check is TWO-WAY: a manifest entry whose file vanished from the
+    // input must count as a violation (a lost file must not pass silently)
+    val extra = (FixtureCorpus.manifest(n).toSeq :+ ("ghost.page" -> "beef"))
+      .toDF("path", "expected_sha")
+    assert(graft.stages.Ingest.manifestViolations(files, extra) == 1)
+    // ...and a corrupted content hash still counts
+    val corrupt = FixtureCorpus.manifest(n).toSeq
+      .map { case (p, s) => (p, if (p.contains("rep1.")) "0" * 64 else s) }
+      .toDF("path", "expected_sha")
+    assert(graft.stages.Ingest.manifestViolations(files, corrupt) > 0)
   }
 
   test("giant skewed page emits exactly the base page's triples") {

@@ -53,6 +53,40 @@ class CheckpointSpec extends SparkSpec {
     assert(t3.count() != t1Count)
   }
 
+  test("an empty partitioned stage reads back via the schema sidecar") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpt-empty").toString
+    val ckpt = Checkpoint(root, runId = "run-e")
+    // e.g. a corpus where every file quarantined -> 0 triples: the
+    // partitioned write emits no schema-bearing parquet file, so the
+    // read-back must come from the recorded schema, not inference
+    val out = ckpt.stage(spark, "triples", "snap-0", partitionByCols = Seq("pred")) {
+      Seq.empty[(String, String, String, String)].toDF("docId", "subj", "pred", "obj")
+    }
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("docId", "subj", "pred", "obj"))
+    // resumed run reads the same empty stage without recomputing
+    val out2 = ckpt.stage(spark, "triples", "snap-0", partitionByCols = Seq("pred")) {
+      fail("stage recomputed despite completed snapshot"); ???
+    }
+    assert(out2.count() == 0)
+  }
+
+  test("salted join rejects build-duplicating outer join types") {
+    import spark.implicits._
+    val big = Seq(("a", 1)).toDF("k", "v")
+    val small = Seq(("b", 2)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      SkewSafeJoin.join(big, small, "k", saltBuckets = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewSafeJoin.join(big, small, "k", saltBuckets = 4, joinType = "full_outer")
+    }
+    // probe-preserving types stay legal: unmatched BIG rows survive once
+    val left = SkewSafeJoin.join(big, small, "k", saltBuckets = 4, joinType = "left")
+    assert(left.count() == 1)
+  }
+
   test("skew-safe join matches the plain join result") {
     import spark.implicits._
     // hot key: 10k rows of one key + small dimension

@@ -49,6 +49,24 @@ class GraftUdfsSpec extends SparkSpec {
     assert(got == "a b c")
   }
 
+  test("LLM parser Column form strips all whitespace like the Scala .strip()") {
+    import spark.implicits._
+    import graft.rules.LlmResponseParser
+    // multi-line intro ending in \n\n before the next marker — the shape
+    // of main.py's own worked example; Spark trim() would keep the
+    // newlines where Python .strip() removes them
+    val resp = "新闻风格介绍：line one\nline two\n\n论文信息提取：第一作者/共同作者单位/通讯作者单位：X，" +
+      "其他作者单位：Y，所有作者单位所属国家：Z，论文url链接：u，论文名：T"
+    val fromCols = Seq(resp).toDF("response")
+      .select(LlmResponseParser.columns(org.apache.spark.sql.functions.col("response")): _*)
+      .collect().head
+    val fromScala = LlmResponseParser.parse(resp)
+    LlmResponseParser.fields.map(_._1).zipWithIndex.foreach { case (name, i) =>
+      assert(fromCols.getString(i) == fromScala(name), name)
+    }
+    assert(fromScala("news_intro") == "line one\nline two") // no trailing \n\n
+  }
+
   test("null inputs return null through every registered UDF") {
     val r = spark.sql(
       """SELECT normalize_affiliation(CAST(NULL AS STRING)) AS n1,

@@ -96,6 +96,35 @@ class JournalRulesSpec extends AnyFunSuite {
     assert(triples.forall(t => t.subj == science.docId))
   }
 
+  test("Science: author blocks with extra attributes still parse (real-markup shape)") {
+    // real science.org divs carry more attributes in arbitrary order —
+    // the block regex must match any <div ... property="author" ...>
+    val html = resourceText("/graft/fixtures/science_synthetic.html")
+      .replace("<div property=\"author\">",
+        "<div class=\"core-author\" property=\"author\" typeof=\"Person\">")
+    val r = ScienceRules.parse(html, "p")
+    assert(r.authors.map(_.name) == science.authors.map(_.name))
+    assert(r.authors.map(_.affiliations) == science.authors.map(_.affiliations))
+  }
+
+  test("APS HTML: sentinel-less authors-wrapper does not sweep later page sections") {
+    // no closing sentinel + a 'Cited by' section with author-search links
+    // and an unrelated no-bullet list after the wrapper: the bounded
+    // fallback must not parse them as paper authors/affiliations
+    val html = resourceText("/graft/fixtures/aps_html_detailed.html")
+      .replace("<!--/authors-wrapper-->", "") +
+      """
+        |<section class="cited-by"><h2>Cited by</h2>
+        |<a href="/search/field/author/Phantom%20Person">Phantom Person</a>
+        |<ul class="no-bullet"><li><sup>1</sup>Wrong Institute, Nowhere</li></ul>
+        |</section>""".stripMargin
+    val r = ApsHtmlRules.parse(html, "p")
+    assert(!r.authors.exists(_.name.contains("Phantom")), r.authors.map(_.name).toString)
+    assert(!r.authors.exists(_.affiliations.exists(_.contains("Wrong Institute"))))
+    // the real author set is unaffected
+    assert(r.authors.map(_.name) == Seq("Anna Kowalski", "Ben Okafor", "Chen Wei"))
+  }
+
   test("main.py:30 default: first author becomes corresponding when unmarked") {
     import graft.model.PaperRecord
     // the fixture pages all mark a corresponding author -> no-op

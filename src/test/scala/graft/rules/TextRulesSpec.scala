@@ -55,6 +55,15 @@ class TextRulesSpec extends AnyFunSuite with PropChecks {
     checkProp(forAll { (s: String) => AffiliationNormalizer.normalize(s); true })
   }
 
+  test("decodeEntities decodes exactly one level (no double-decode via &amp;)") {
+    assert(Text.decodeEntities("Spin &amp; charge") == "Spin & charge")
+    // the escaped sequence &amp;lt; means the literal text "&lt;" — a
+    // first-pass &amp; replace would wrongly yield "<"
+    assert(Text.decodeEntities("&amp;lt;tag&amp;gt;") == "&lt;tag&gt;")
+    assert(Text.decodeEntities("a &lt;b&gt; &quot;c&quot; &#39;d&#39;&nbsp;e")
+      == "a <b> \"c\" 'd' e")
+  }
+
   test("LLM response parse matches the worked example shape (P25)") {
     val resp = "新闻风格介绍：一段介绍。\n\n论文信息提取：第一作者/共同作者单位/通讯作者单位：洛桑联邦理工学院*，其他作者单位：洛桑联邦理工学院，所有作者单位所属国家：瑞士，论文url链接：https://x.y/z，论文名：Some Title"
     val m = LlmResponseParser.parse(resp)
