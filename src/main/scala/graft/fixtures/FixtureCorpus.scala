@@ -50,8 +50,9 @@ object FixtureCorpus {
     // synthetic commit id — cheap non-crypto hash is enough
     f"${scala.util.hashing.MurmurHash3.stringHash(s"$repo/$path", 7)}%08x${s"$repo/$path".length}%04x"
 
-  /** The five base rows — one per fixture page. Paths embed the fixture
-    * id so extraction provenance survives replication.
+  /** The base rows — one per fixture page (7: three aps-md, one
+    * nature-html, one science-html, two aps-html). Paths embed the
+    * fixture id so extraction provenance survives replication.
     */
   def baseRows: Seq[SourceFile] = fixtures.map { f =>
     val repo = f.lang match {

@@ -85,7 +85,14 @@ object RegexpCountFast {
   def regexpCountFast(s: Column, p: Column): Column =
     GraftBridge.column(RegexpCountFast(GraftBridge.expression(s), GraftBridge.expression(p)))
 
+  /** Same arity guard as the GraftExtensions path — a wrong-arity call
+    * must fail analysis with a message, not IndexOutOfBounds at build.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "regexp_count_fast", exprs => RegexpCountFast(exprs.head, exprs(1)), "scala_udf")
+      "regexp_count_fast", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"regexp_count_fast expects 2 arguments, got ${exprs.length}")
+        RegexpCountFast(exprs.head, exprs(1))
+      }, "scala_udf")
 }

@@ -17,9 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * object-SerDe boundary and no UDF black box; the plan remains one
   * generated loop over UnsafeRows.
   *
-  * Semantics match [[graft.queries.SimilarityQueries.simhash64]] (the
-  * plain-Scala form kept as the test reference): per-word 64-bit hash
-  * from two MurmurHash3 halves, +1/-1 bit voting, sign bit per position.
+  * [[SimHash64.hash]] is the single implementation — eval, codegen, and
+  * the typed path ([[graft.queries.SimilarityQueries.simhash64]]) all
+  * delegate to it: per-word 64-bit hash from two MurmurHash3 halves,
+  * +1/-1 bit voting, sign bit per position; words split on Unicode
+  * whitespace (Character.isWhitespace).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -80,8 +82,15 @@ object SimHash64 {
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
 
-  /** SQL registration: makes `simhash64(col)` usable from spark.sql. */
+  /** SQL registration: makes `simhash64(col)` usable from spark.sql.
+    * Same arity guard as the GraftExtensions path — a wrong-arity call
+    * must fail analysis with a message, not IndexOutOfBounds at build.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "simhash64", exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"simhash64 expects 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }, "scala_udf")
 }

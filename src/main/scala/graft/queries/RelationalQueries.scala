@@ -9,13 +9,20 @@ import org.apache.spark.sql.functions._
   * oracle. Conventions for oracle parity:
   *  - every computed column aliased identically on both sides;
   *  - deterministic ORDER BY on both sides;
-  *  - doubles rounded at the end (summation-order tolerance);
+  *  - doubles rounded at the end (summation-order tolerance) via
+  *    [[r2]]/floor on BOTH engines — Spark round() is decimal HALF_UP
+  *    while DuckDB round() is binary, so they disagree at x.xx5
+  *    boundaries (the t03 lesson); identical floor(x*100+0.5)/100
+  *    double math cannot;
   *  - timestamps surfaced as 'yyyy-MM-dd' strings.
   *
   * Scale notes are per query; dimension joins broadcast, AQE handles
   * the rest.
   */
 object RelationalQueries {
+
+  /** 2-dp half-up rounding as pure double math (see conventions above). */
+  private def r2(c: Column): Column = floor(c * 100 + 0.5) / 100
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -31,9 +38,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -49,7 +56,7 @@ object RelationalQueries {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(r2(sum("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("n_name")
   }
 
@@ -61,7 +68,7 @@ object RelationalQueries {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .filter(col("o_orderstatus") === "O")
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -100,7 +107,7 @@ object RelationalQueries {
     t(dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -113,7 +120,7 @@ object RelationalQueries {
     t(dir, "orders")
       .withColumn("order_seq", row_number().over(w))
       .withColumn("running_spend",
-        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        r2(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .filter(col("order_seq") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("order_seq"), col("running_spend"))
       .orderBy("o_custkey", "order_seq")
@@ -137,9 +144,9 @@ object RelationalQueries {
     t(dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("open_total"),
-        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("filled_total"),
-        round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("partial_total"))
+        r2(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0))).as("open_total"),
+        r2(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0))).as("filled_total"),
+        r2(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0))).as("partial_total"))
       .orderBy("o_orderpriority")
   }
 
@@ -161,7 +168,7 @@ object RelationalQueries {
     t(dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"), round(avg("k"), 2).as("avg_k"))
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("v"), r2(avg("k")).as("avg_k"))
       .orderBy("hour", "event_type")
   }
 
@@ -185,7 +192,7 @@ object RelationalQueries {
     implicit val sp = s
     t(dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -194,7 +201,7 @@ object RelationalQueries {
     implicit val sp = s
     t(dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(r2(sum("o_totalprice")).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
@@ -254,7 +261,7 @@ object RelationalQueries {
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     graft.exec.SkewSafeJoin.join(e, c, "user_id", saltBuckets = 8)
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("total_value"))
       .orderBy("c_mktsegment")
   }
 
@@ -305,19 +312,19 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_revenue_by_nation" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT n_name, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q03_top_orders" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT l_orderkey, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
@@ -332,7 +339,7 @@ object RelationalQueries {
         |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 40)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q06_filter_pushdown_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -340,8 +347,8 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey, order_seq, running_spend FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER w AS order_seq,
-        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |    floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_spend
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         |WHERE order_seq <= 3 ORDER BY o_custkey, order_seq""".stripMargin,
     "q08_distinct_agg" ->
@@ -351,9 +358,9 @@ object RelationalQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q09_case_pivot" ->
       """SELECT o_orderpriority,
-        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
-        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled_total,
-        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS partial_total
+        |  floor((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS open_total,
+        |  floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS filled_total,
+        |  floor((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS partial_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_set_ops" ->
       """(SELECT s_nationkey FROM supplier WHERE s_acctbal > 7000
@@ -364,8 +371,8 @@ object RelationalQueries {
         |ORDER BY s_nationkey""".stripMargin,
     "q11_events_json_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS v,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k
+        |  count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS v,
+        |  floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 100 + 0.5) / 100 AS avg_k
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q12_event_gaps" ->
       """SELECT user_id, count(*) AS n_gaps, max(gap_us) AS max_gap_us FROM (
@@ -374,12 +381,12 @@ object RelationalQueries {
         |  FROM events)
         |WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_rollup" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      """SELECT l_returnflag, l_linestatus, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q14_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |  floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q15_asof_join" ->
@@ -397,7 +404,7 @@ object RelationalQueries {
         |  ON c.user_id = p.user_id AND c.ts > p.ts
         |ORDER BY c.event_id""".stripMargin,
     "q16_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+      """SELECT c_mktsegment, count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_sessionize" ->

@@ -62,25 +62,13 @@ object SimilarityQueries {
       .orderBy("a", "b")
   }
 
-  /** 64-bit SimHash of whitespace words. */
-  def simhash64(text: String): Long = {
-    val acc = new Array[Int](64)
-    text.toLowerCase.split("\\s+").foreach { w =>
-      if (w.nonEmpty) {
-        val h = (MurmurHash3.stringHash(w, 0x1234abcd).toLong << 32) |
-          (MurmurHash3.stringHash(w, 0x9e3779b9).toLong & 0xffffffffL)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-          i += 1
-        }
-      }
-    }
-    var sig = 0L
-    var i = 0
-    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
-    sig
-  }
+  /** 64-bit SimHash of whitespace words — delegates to the single
+    * implementation in [[graft.functions.SimHash64.hash]] so the typed
+    * path and the native expression cannot drift (a previous duplicate
+    * split on ASCII `\s` while the expression used Unicode
+    * Character.isWhitespace — divergent fingerprints on em-spaces etc.).
+    */
+  def simhash64(text: String): Long = graft.functions.SimHash64.hash(text)
 
   /** SimHash near-dups with GUARANTEED recall at the threshold (the
     * Manku/Google simhash-dedup table design): the 64-bit fingerprint

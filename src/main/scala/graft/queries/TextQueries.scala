@@ -66,8 +66,11 @@ object TextQueries {
   }
 
   /** Language id: stopword-hit heuristic — count hits of one high-
-    * frequency marker word per language, argmax wins (ties -> und).
-    * Evaluated against the labeled lang column.
+    * frequency marker word per language, argmax wins. Nonzero ties
+    * resolve to the FIRST language in chain order (en > de > fr > es —
+    * the oracle's CASE mirrors the order, so keep them in sync); only
+    * an all-zero score maps to und. Evaluated against the labeled lang
+    * column.
     */
   private val langId: Q = (s, dir) => {
     implicit val sp = s

@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupStream {
 
-  /** Streaming form over rows with (ts timestamp, `contentCol` string). */
+  /** Streaming form over rows with (ts timestamp, `contentCol` string).
+    * unhex(md5) -> BinaryType: the state key is the actual 16 md5 bytes,
+    * not the 32-char hex string (2x+ state/shuffle per key at scale).
+    */
   def dedupStream(docs: DataFrame, contentCol: String,
       watermarkDelay: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("content_hash", md5(col(contentCol)))
+      .withColumn("content_hash", unhex(md5(col(contentCol))))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
@@ -40,6 +43,6 @@ object DedupStream {
     */
   def dedupBatch(docs: DataFrame, contentCol: String): DataFrame =
     docs
-      .withColumn("content_hash", md5(col(contentCol)))
+      .withColumn("content_hash", unhex(md5(col(contentCol))))
       .dropDuplicates("content_hash")
 }

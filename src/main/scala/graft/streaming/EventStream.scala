@@ -32,13 +32,22 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Start a memory-sink query over a parquet directory source. */
+  /** Start a memory-sink query over a parquet directory source.
+    *
+    * Append mode, not complete: in complete mode the watermark never
+    * evicts window state (every window ever seen must be re-emitted each
+    * trigger), so state grows O(total windows) on an unbounded feed — the
+    * opposite of what the watermark is for. Append emits each window once
+    * when the watermark finalizes it and the state store stays bounded;
+    * a parquet sink (the production shape) accepts only append anyway.
+    */
   def startMemoryQuery(spark: SparkSession, srcDir: String, name: String): StreamingQuery = {
-    val src = spark.readStream.schema(eventSchema).parquet(srcDir)
+    val src = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
     windowedCounts(src).writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode("append")
       .start()
   }
 }

@@ -29,6 +29,12 @@ object Sessionize {
     def us: Long = Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
   }
   case class Open(startUs: Long, endUs: Long, n: Long, total: Double)
+  /** State value: ALL not-yet-sealed sessions of a user. Bounded: a
+    * session seals once the watermark passes end+gap, so the list holds
+    * at most ~(watermarkDelay / gap) + 1 sessions regardless of event
+    * count — still O(active users) state overall.
+    */
+  case class Pending(sessions: List[Open])
   case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
       n_events: Long, total_value: Double)
 
@@ -39,53 +45,52 @@ object Sessionize {
 
   /** State transition for one user and one micro-batch of its events.
     *
-    * The batch's events and the open session are merged as time-sorted
-    * intervals and re-sessionized in one fold — the same computation the
-    * batch plan performs — so cross-batch out-of-order events inside the
-    * watermark keep stream/batch parity: a late event can extend the
-    * open session backwards, two late events can merge with each other,
-    * and a bridging event can pull an earlier late event into the open
-    * session. Everything but the most-recent session is emitted; that
-    * one stays open in state. Remaining limitation (inherent to
-    * append-mode streaming): an event late enough to belong to an
-    * already-EMITTED session cannot reopen it — bound lateness with the
-    * watermark delay.
+    * The batch's events and every pending session are merged as
+    * time-sorted intervals and re-sessionized in one fold — the same
+    * computation the batch plan performs. A session is EMITTED only once
+    * the watermark passes its end + gap (no admissible future event —
+    * one with ts >= watermark — can still merge into it), so any
+    * out-of-order arrival the watermark admits keeps exact stream/batch
+    * parity: late events extend or bridge pending sessions, merge with
+    * each other, and can arrive many sessions back. Events later than
+    * the watermark bound are dropped by the state store — that is the
+    * single, standard divergence from batch.
     */
   def stateFn(gapUs: Long)(user: Long, events: Iterator[Event],
-      state: GroupState[Open]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(close(user, _)).iterator
-      state.remove()
-      out
+      state: GroupState[Pending]): Iterator[SessionOut] = {
+    val pending = state.getOption.map(_.sessions).getOrElse(Nil)
+    val incoming = events.toArray.sortBy(e => (e.us, e.value))
+      .map(e => Open(e.us, e.us, 1, e.value)).toList
+    val items = (pending ++ incoming).sortBy(s => (s.startUs, s.endUs))
+    val merged = items.foldLeft(List.empty[Open]) {
+      case (cur :: done, s) if s.startUs - cur.endUs <= gapUs =>
+        Open(cur.startUs, math.max(cur.endUs, s.endUs),
+          cur.n + s.n, cur.total + s.total) :: done
+      case (acc, s) => s :: acc
+    }.reverse
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    // closed: watermark strictly past end+gap -> immutable forever
+    val (closed, open) = merged.partition(s => s.endUs + gapUs < wmUs)
+    if (open.isEmpty) {
+      if (state.exists) state.remove()
     } else {
-      // intervals: the open session (if any) + each event as a point,
-      // time-ordered; adjacent intervals within the gap merge
-      val items = (state.getOption.toSeq ++
-          events.toArray.sortBy(e => (e.us, e.value)).map(e => Open(e.us, e.us, 1, e.value)))
-        .sortBy(s => (s.startUs, s.endUs))
-      val merged = items.foldLeft(List.empty[Open]) {
-        case (cur :: done, s) if s.startUs - cur.endUs <= gapUs =>
-          Open(cur.startUs, math.max(cur.endUs, s.endUs),
-            cur.n + s.n, cur.total + s.total) :: done
-        case (acc, s) => s :: acc
-      }.reverse
-      merged.lastOption.foreach { s =>
-        state.update(s)
-        // timeout when the watermark passes end-of-session + gap; must be
-        // strictly ahead of the current watermark or Spark rejects it
-        val tsMs = math.max(s.endUs / 1000 + gapUs / 1000,
-          state.getCurrentWatermarkMs() + 1)
-        state.setTimeoutTimestamp(tsMs)
-      }
-      merged.dropRight(1).map(close(user, _)).iterator
+      state.update(Pending(open))
+      // wake when the earliest pending session seals; must be strictly
+      // ahead of the current watermark or Spark rejects it
+      val tsMs = math.max(open.map(_.endUs).min / 1000 + gapUs / 1000,
+        state.getCurrentWatermarkMs() + 1)
+      state.setTimeoutTimestamp(tsMs)
     }
+    closed.map(close(user, _)).iterator
   }
 
   /** Streaming form over rows with (user_id, ts timestamp, value).
     *
     * `watermarkDelay` is the allowed cross-batch lateness: events older
     * than (max event time seen - delay) are DROPPED by the state store,
-    * diverging from the batch form which sees everything. The default
+    * diverging from the batch form which sees everything. Every
+    * admissible event keeps exact parity (sessions are held in state
+    * until the watermark seals them — see stateFn). The default
     * tolerates 10 minutes of disorder; set it from the feed's actual
     * lateness bound.
     */

@@ -255,7 +255,8 @@ class QueriesSpec extends SparkSpec {
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val plain = e.join(c, "user_id")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum("value") * 100 + 0.5) / 100).as("total_value"))
       .orderBy("c_mktsegment").collect()
     assert(salted.map(_.toString).toSeq == plain.map(_.toString).toSeq)
   }

@@ -30,12 +30,13 @@ class DedupStreamSpec extends SparkSpec {
       .format("memory").queryName("deduped").outputMode("append").start()
     try {
       q.processAllAvailable()
-      val streamed = spark.sql("SELECT content_hash, text FROM deduped").collect()
-      val batch = DedupStream.dedupBatch(spark.read.parquet(dir), "text").collect()
+      // hex() for comparison: content_hash is the raw 16-byte key
+      val streamed = spark.sql("SELECT hex(content_hash), text FROM deduped").collect()
+      val batch = DedupStream.dedupBatch(spark.read.parquet(dir), "text")
+        .selectExpr("hex(content_hash)").collect()
       // one surviving row per distinct content, same hash set as batch
       assert(streamed.length == 3)
-      assert(streamed.map(_.getString(0)).toSet ==
-        batch.map(_.getAs[String]("content_hash")).toSet)
+      assert(streamed.map(_.getString(0)).toSet == batch.map(_.getString(0)).toSet)
       assert(streamed.map(_.getString(1)).toSet == Set("alpha doc", "beta doc", "gamma doc"))
     } finally q.stop()
   }

@@ -13,17 +13,26 @@ class EventStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-stream").toString
     // stage the sf0.001 events as the stream source, normalizing the
     // TIMESTAMP_NTZ column to TIMESTAMP (UTC session)
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val real = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", col("ts").cast("timestamp"))
-      .write.mode("overwrite").parquet(dir)
+    real.coalesce(1).write.mode("append").parquet(dir)
+    // file source orders micro-batches by mtime
+    Thread.sleep(1100)
+    // append mode emits a window only when the watermark finalizes it —
+    // a far-future sentinel batch advances the watermark past every
+    // real window
+    val maxTs = real.agg(max("ts")).head.getTimestamp(0)
+    real.limit(1)
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
+      .withColumn("event_type", lit("__sentinel"))
+      .coalesce(1).write.mode("append").parquet(dir)
 
     val q = EventStream.startMemoryQuery(spark, dir, "evt_counts")
     try {
       q.processAllAvailable()
-      val streamed = spark.sql("SELECT * FROM evt_counts")
+      val streamed = spark.sql("SELECT * FROM evt_counts WHERE event_type != '__sentinel'")
         .orderBy("window_start", "event_type").collect().toSeq
-      val batch = EventStream.windowedCounts(
-        spark.read.parquet(dir))
+      val batch = EventStream.windowedCounts(real)
         .orderBy("window_start", "event_type").collect().toSeq
       assert(streamed.nonEmpty)
       assert(streamed == batch)

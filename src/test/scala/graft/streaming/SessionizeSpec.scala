@@ -123,6 +123,44 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an in-watermark event can merge into a session from an earlier batch") {
+    // gap 5 min, watermark 10 min. Batch 1: 10:00 and 10:12 -> two
+    // pending sessions, watermark 10:02. Batch 2: 10:04 — ADMITTED
+    // (>= watermark) and must merge with the 10:00 session even though a
+    // newer session exists; premature emission of [10:00] would split it.
+    import spark.implicits._
+    val shortGapUs = 5L * 60 * 1000000
+    val dir = Files.createTempDirectory("graft-sessions-adm").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0.getTime + offsetMin * 60000)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      rows.toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    write(Seq((1L, ts(0), 1.0), (1L, ts(12), 2.0)))
+    write(Seq((1L, ts(4), 4.0)))
+    write(Seq((-1L, ts(60L * 24 * 40), 0.0))) // watermark flush sentinel
+
+    val src = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Sessionize.sessionizeStream(src, shortGapUs).writeStream
+      .format("memory").queryName("sessions_adm").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sessions_adm WHERE user_id >= 0")
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      val batch = Sessionize.sessionizeBatch(
+          spark.read.parquet(dir).filter(col("user_id") >= 0), shortGapUs)
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      assert(streamed.map(_.toString) == batch.map(_.toString),
+        s"streamed=$streamed batch=$batch")
+      assert(streamed.size == 2)
+      // first session spans 10:00-10:04 with all three... no: 10:12 is its own
+      assert(streamed.head.getLong(2) == ts(4).getTime * 1000, streamed.head.toString)
+      assert(streamed.head.getLong(3) == 2L)
+    } finally q.stop()
+  }
+
   test("state is bounded: one Open struct per active user") {
     // structural property of the operator: the state value is a fixed-size
     // struct, independent of how many events the session absorbed
