@@ -65,11 +65,22 @@ object Bench {
     // one-time codegen + JIT + parquet-footer costs (measured 9.6 s cold
     // vs 0.8 s steady for q01) and the host has bursty multi-second
     // stalls — steady-state capability is the number that scales.
+    //
+    // Timed via the noop sink, NOT .count(): under count() Catalyst
+    // prunes every column no aggregate consumes, so a projection-only
+    // query (t03/t06/t08/t12 compute-then-orderBy shapes) degenerates to
+    // a zero-column parquet row count and the bench would measure a
+    // near-free metadata scan instead of the operator.
     val qmap = SparkEntry.queries
+    val missing = headline.filterNot(qmap.contains)
+    if (missing.nonEmpty)
+      System.err.println(s"[bench] headline queries MISSING from registry: $missing")
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val repFailures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = headline.filter(qmap.contains).map { name =>
       val secs = (1 to 3).map { _ =>
-        try time(qmap(name)(spark, sfDir).count())._2
+        try time(materialize(qmap(name)(spark, sfDir)))._2
         catch {
           case e: Throwable =>
             // transient failures don't discard the clean samples, but they
@@ -102,16 +113,17 @@ object Bench {
       }._2
     }.min
 
-    // Locale.ROOT: the f interpolator uses the JVM default locale — a
-    // decimal-comma locale would emit invalid JSON the driver can't parse
-    def num(v: Double, dp: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // JsonOut: shared escaping + Locale.ROOT numbers with Verify — the
+    // driver hard-fails on invalid JSON, so sfDir is escaped (quotes,
+    // backslashes) and cpus goes through toInt (a zero-padded "08" env
+    // value spliced raw would be rejected by json.load)
+    import graft.JsonOut.{num, str}
     val qs = (results ++ Seq("kg_extract_pipeline" -> kgSec, "kg_entity_link" -> linkSec))
-      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
-    val fails = repFailures.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => str(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
+    val fails = repFailures.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec + linkSec
     val json =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"rep_failures":$fails,"sf":"$sfDir","cpus":$cpus,"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${num(tps, 1)}}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"rep_failures":$fails,"sf":${str(sfDir)},"cpus":${cpus.trim.toInt},"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${num(tps, 1)}}"""
     // the driver machine-parses this JSON; under sbt, stdout lines get an
     // "[info] " prefix and trailing [success] lines follow — so (a) write
     // it to a file and (b) print it AFTER spark.stop() so no Spark

@@ -18,12 +18,20 @@ object SparkEntry {
 
   /** Flagship: full KG-construction pipeline (slice -> extract -> triple
     * emit -> entity link -> canonicalize) on a small replicated fixture
-    * corpus. Driver smoke-checks rows > 0.
+    * corpus, with the entity table CONSUMED: author objects carry their
+    * canonical entity id, so the smoke check covers linking +
+    * canonicalization output, not just extraction (previously the ents
+    * half was computed and discarded). Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
     val files = FixtureCorpus.corpus(spark, 50, 8)
-    val (triples, _) = Pipeline.run(spark, files)
-    triples.toDF()
+    val (triples, ents) = Pipeline.run(spark, files)
+    val authorCanon = ents.filter(col("kind") === "author")
+      .select(concat(lit("author:"), col("name")).as("obj"),
+        col("entityId").as("canonical_author"))
+    triples.toDF().join(broadcast(authorCanon), Seq("obj"), "left")
+      .select("docId", "subj", "pred", "obj", "canonical_author")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

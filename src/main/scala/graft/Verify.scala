@@ -17,27 +17,29 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftUdfs.register(spark)
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(deleteRecursively))
+      p.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete the previous output FIRST: overwrite only clears the old
+      // directory when the new write executes, so a query that now
+      // throws would leave a stale-but-green parquet for the compare to
+      // read — a regression must show as a missing output, not a pass
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // shared escaping with Bench (graft.JsonOut): backslash, quote, and
+    // ALL control chars — a tab or CR in builder-authored SQL would
+    // otherwise make the driver's json.load fail and silently zero the
+    // round's correctness.
+    import graft.JsonOut.str
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${str(k)}: ${str(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

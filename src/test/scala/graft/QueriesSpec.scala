@@ -9,10 +9,14 @@ class QueriesSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("entry (flagship pipeline) returns triples") {
+  test("entry (flagship pipeline) returns triples with canonical author ids") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
-    assert(df.columns.toSet == Set("docId", "subj", "pred", "obj"))
+    assert(df.columns.toSet == Set("docId", "subj", "pred", "obj", "canonical_author"))
+    // the entity table is consumed: every hasAuthor triple resolves
+    val authors = df.filter(col("pred") === "hasAuthor")
+    assert(authors.count() > 0)
+    assert(authors.filter(col("canonical_author").isNull).count() == 0)
   }
 
   test("every query runs and returns rows on sf0.001") {
