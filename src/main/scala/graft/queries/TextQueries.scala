@@ -231,7 +231,51 @@ object TextQueries {
       .orderBy("event_id")
   }
 
+  /** Deterministic stratified (per-language) sampling — the data-mixing
+    * primitive of a pretraining pipeline: each language gets its own
+    * keep-rate, membership is decided by a content-stable hash threshold
+    * (md5 hex prefix compared lexicographically — fixed-width lowercase
+    * hex orders like the number it encodes), so the sample is identical
+    * across runs, partitionings, and engines; no RNG, no shuffle beyond
+    * the final sort. Rates: en 1/2 ('80000000'), others 1/4 ('40000000').
+    */
+  private val stratifiedSample: Q = (s, dir) => {
+    implicit val sp = s
+    val h = substring(md5(concat(lit("t13:"), col("doc_id").cast("string"))), 1, 8)
+    docs(dir)
+      .withColumn("h8", h)
+      .filter((col("lang") === "en" && col("h8") < "80000000")
+        || (col("lang") =!= "en" && col("h8") < "40000000"))
+      .select("doc_id", "lang", "h8")
+      .orderBy("doc_id")
+  }
+
+  /** Top-5 word bigrams per language — the classic corpus-profiling pass
+    * (and the §2.2 generator family under a full value oracle): split ->
+    * per-row bigram array (a Column-lambda transform, no UDF) -> explode
+    * -> count -> per-lang top-k window. One shuffle on (lang, bigram),
+    * one on lang for the window.
+    */
+  private val bigramTopk: Q = (s, dir) => {
+    implicit val sp = s
+    val w = split(lower(trim(col("text"))), "\\s+")
+    val bigrams = transform(sequence(lit(1), size(col("ws")) - 1),
+      i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1)))
+    val win = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    docs(dir)
+      .withColumn("ws", w)
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .orderBy("lang", "rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "t13_stratified_sample" -> stratifiedSample,
+    "t14_bigram_topk" -> bigramTopk,
     "t01_dedup_exact" -> dedupExact,
     "t02_token_count" -> tokenCount,
     "t03_quality_score" -> qualityScore,
@@ -246,6 +290,28 @@ object TextQueries {
     "t12_redact" -> redact)
 
   val oracle: Map[String, String] = Map(
+    "t13_stratified_sample" ->
+      """SELECT doc_id, lang, substr(md5('t13:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+        |FROM documents
+        |WHERE (lang = 'en' AND substr(md5('t13:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |   OR (lang <> 'en' AND substr(md5('t13:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+        |ORDER BY doc_id""".stripMargin,
+    "t14_bigram_topk" ->
+      """WITH w AS (
+        |  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2),
+        |b AS (
+        |  SELECT lang,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM w),
+        |c AS (
+        |  SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, bigram, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+        |  FROM c)
+        |SELECT lang, bigram, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "t01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

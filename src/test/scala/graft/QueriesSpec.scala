@@ -290,6 +290,22 @@ class QueriesSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == docs.length)
   }
 
+  test("t13 stratified sample is deterministic with per-lang rates in bounds") {
+    val rows = SparkEntry.queries("t13_stratified_sample")(spark, sf).collect()
+    val again = SparkEntry.queries("t13_stratified_sample")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val byLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps ~1/2, others ~1/4 (hash-threshold; binomial tolerance)
+    byLang.foreach { case (lang, n) =>
+      val rate = n.toDouble / total(lang)
+      val want = if (lang == "en") 0.5 else 0.25
+      assert(math.abs(rate - want) < 0.18, s"$lang rate $rate want ~$want")
+    }
+  }
+
   test("t09 split is a deterministic partition of the corpus") {
     val rows = SparkEntry.queries("t09_train_split")(spark, sf).collect()
     val bySplit = rows.groupBy(_.getAs[String]("split"))
