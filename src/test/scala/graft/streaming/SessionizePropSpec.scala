@@ -13,14 +13,15 @@ class SessionizePropSpec extends SparkSpec with PropChecks {
 
   private val GapUs = 300L
 
-  private def refSessions(evs: List[(Long, Long, Double)]): Set[(Long, Long, Long, Long, Double)] =
+  private def refSessionsGap(evs: List[(Long, Long, Double)],
+      gapUs: Long): Set[(Long, Long, Long, Long, Double)] =
     evs.groupBy(_._1).flatMap { case (u, es) =>
       val sorted = es.sortBy(e => (e._2, e._3))
       val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
       var cur: Option[(Long, Long, Long, Double)] = None
       sorted.foreach { case (_, us, v) =>
         cur = cur match {
-          case Some((s, e, n, t)) if us - e <= GapUs => Some((s, us, n + 1, t + v))
+          case Some((s, e, n, t)) if us - e <= gapUs => Some((s, us, n + 1, t + v))
           case Some(closed) => out += closed; Some((us, us, 1L, v))
           case None => Some((us, us, 1L, v))
         }
@@ -28,6 +29,61 @@ class SessionizePropSpec extends SparkSpec with PropChecks {
       cur.foreach(out += _)
       out.map { case (s, e, n, t) => (u, s, e, n, math.floor(t * 100 + 0.5) / 100) }
     }.toSet
+
+  private def refSessions(evs: List[(Long, Long, Double)]): Set[(Long, Long, Long, Long, Double)] =
+    refSessionsGap(evs, GapUs)
+
+  test("stateFn over random watermark-respecting micro-batches equals the batch fold") {
+    // drives the state machine DIRECTLY (TestGroupState) over random
+    // event sets randomly split into micro-batches with arbitrary
+    // in-batch and cross-batch disorder; the simulated store drops
+    // sub-watermark rows exactly like FlatMapGroupsWithStateExec, and
+    // the reference fold runs over the admitted events — the documented
+    // contract: every admissible event keeps exact parity
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        ms <- Gen.choose(0L, 3000L)
+        v <- Gen.choose(-50, 50)
+      } yield (ms, v.toDouble))
+      nBatches <- Gen.choose(1, 5)
+      cuts <- Gen.listOfN(n, Gen.choose(0, nBatches - 1))
+      delayMs <- Gen.choose(200L, 4000L)
+    } yield (evs, cuts, nBatches, delayMs)
+
+    checkProp(forAll(gen) { case (evs, cuts, nBatches, delayMs) =>
+      def ev(ms: Long, v: Double) =
+        Sessionize.Event(1L, new java.sql.Timestamp(ms), v)
+      val batches = (0 until nBatches).map(b =>
+        evs.zip(cuts).collect { case ((ms, v), c) if c == b => (ms, v) })
+      var state: Option[Sessionize.Pending] = None
+      var wmMs = 0L
+      val admitted = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+      val out = scala.collection.mutable.ListBuffer.empty[Sessionize.SessionOut]
+      def step(batch: Seq[(Long, Double)], wm: Long, timedOut: Boolean): Unit = {
+        val gs = TestGroupState.create[Sessionize.Pending](
+          org.apache.spark.api.java.Optional.ofNullable(state.orNull),
+          GroupStateTimeout.EventTimeTimeout, 0L,
+          org.apache.spark.api.java.Optional.of(wm), hasTimedOut = timedOut)
+        out ++= Sessionize.stateFn(GapUs * 1000)(1L,
+          batch.map { case (ms, v) => ev(ms, v) }.iterator, gs)
+        state = if (gs.exists) Some(gs.get) else None
+      }
+      batches.foreach { b =>
+        val adm = b.filter(_._1 >= wmMs) // the store drops sub-watermark rows
+        admitted ++= adm.map { case (ms, v) => (1L, ms * 1000, v) }
+        step(adm, wmMs, timedOut = false)
+        wmMs = math.max(wmMs, b.map(_._1).maxOption.map(_ - delayMs).getOrElse(wmMs))
+      }
+      step(Nil, Long.MaxValue / 2000, timedOut = true) // watermark flush
+      val got = out.map(s =>
+        (s.user_id, s.session_start_us, s.session_end_us, s.n_events, s.total_value)).toSet
+      // reference fold expects us in micros and gap in the same units
+      val expected = refSessionsGap(admitted.toList, GapUs * 1000)
+      Prop(got == expected) :| s"got=$got expected=$expected admitted=$admitted"
+    }, minSuccessful = 60)
+  }
 
   test("batch sessionization matches a sequential fold on random inputs") {
     import spark.implicits._
