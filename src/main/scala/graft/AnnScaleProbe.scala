@@ -50,18 +50,17 @@ object AnnScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     println(s"PROBE ann corpus written: $n vectors x $dim dims")
 
-    // two samples, and the second one IS the collect that also yields the
-    // result rows — a separate untimed collect would re-run the full scan
-    // a third time for no extra information
+    // two LIKE-FOR-LIKE samples (both collect the 50-row result — the
+    // driver transfer is negligible next to the scans), the second also
+    // yields the rows; a third untimed collect would re-run the full
+    // scan for no extra information, and a count()-vs-collect() pair
+    // would make "best" the min of two differently-shaped measurements
+    import MainUtil.timed
     def run(name: String): Map[(Long, Long), Double] = {
-      def timed[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime()
-        val a = f
-        (a, (System.nanoTime() - t0) / 1e9)
-      }
-      val (_, w1) = timed(SparkEntry.queries(name)(spark, dir).count())
-      val (collected, w2) = timed(SparkEntry.queries(name)(spark, dir)
+      def sample() = timed(SparkEntry.queries(name)(spark, dir)
         .select("probe_id", "vec_id", "cosine").collect())
+      val (_, w1) = sample()
+      val (collected, w2) = sample()
       val rows = collected.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       println(f"PROBE $name cpus=$cpus n=$n walls=$w1%.2f,$w2%.2f best=${math.min(w1, w2)}%.2f rows=${rows.size}")
       rows

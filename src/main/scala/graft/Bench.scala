@@ -72,25 +72,34 @@ object Bench {
     // a zero-column parquet row count and the bench would measure a
     // near-free metadata scan instead of the operator.
     val qmap = SparkEntry.queries
-    val missing = headline.filterNot(qmap.contains)
-    if (missing.nonEmpty)
-      System.err.println(s"[bench] headline queries MISSING from registry: $missing")
+    val repFailures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val repFailures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val results = headline.filter(qmap.contains).map { name =>
-      val secs = (1 to 3).map { _ =>
-        try time(materialize(qmap(name)(spark, sfDir)))._2
-        catch {
-          case e: Throwable =>
-            // transient failures don't discard the clean samples, but they
-            // must stay observable: count them per query + warn on stderr
-            System.err.println(s"[bench] $name rep failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            repFailures(name) = repFailures.getOrElse(name, 0) + 1
-            -1.0
-        }
-      }.filter(_ >= 0)
-      name -> (if (secs.isEmpty) -1.0 else secs.min)
+    // a headline name missing from the registry surfaces IN-BAND as the
+    // -1.0 failure sentinel (same as an all-reps-failed query): the
+    // driver discards stderr, so a warning alone would let a dropped
+    // query read as a green, smaller total
+    val missing = headline.filterNot(qmap.contains)
+    if (missing.nonEmpty) {
+      System.err.println(s"[bench] headline queries MISSING from registry: $missing")
+      missing.foreach(repFailures(_) = 3)
+    }
+    val results = headline.map { name =>
+      if (!qmap.contains(name)) name -> -1.0
+      else {
+        val secs = (1 to 3).map { _ =>
+          try time(materialize(qmap(name)(spark, sfDir)))._2
+          catch {
+            case e: Throwable =>
+              // transient failures don't discard the clean samples, but
+              // they must stay observable: count per query + warn
+              System.err.println(s"[bench] $name rep failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              repFailures(name) = repFailures.getOrElse(name, 0) + 1
+              -1.0
+          }
+        }.filter(_ >= 0)
+        name -> (if (secs.isEmpty) -1.0 else secs.min)
+      }
     }
 
     // KG pipeline: extraction throughput (mapPartitions, shuffle-free) —

@@ -25,3 +25,25 @@ object JsonOut {
   def num(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 }
+
+/** Shared helpers for the driver-facing mains and probes — one copy so
+  * a hardening (symlink safety, wall-clock source) cannot diverge
+  * between call sites (the JsonOut rationale, applied to the rest).
+  */
+object MainUtil {
+
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Local-filesystem recursive delete (probe/verify output dirs only —
+    * checkpoint roots on non-local URIs go through Hadoop FS in
+    * exec.Checkpoint).
+    */
+  def deleteRecursively(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(deleteRecursively))
+    p.delete()
+  }
+}

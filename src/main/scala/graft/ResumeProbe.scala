@@ -15,11 +15,7 @@ object ResumeProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val n = sys.env.getOrElse("SPARK_GRAFT_KG_N", "20000").toInt
     val root = sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR", "/tmp/graft_resume_probe")
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
-      p.delete()
-    }
-    rm(new java.io.File(root))
+    MainUtil.deleteRecursively(new java.io.File(root))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,12 +24,7 @@ object ResumeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
-    }
-
+    import MainUtil.timed
     val files = FixtureCorpus.corpus(spark, n, cpus.toInt * 4)
     val snap = Checkpoint.snapshotId("fixture", n)
 

@@ -17,16 +17,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftUdfs.register(spark)
     new java.io.File(outDir).mkdirs()
-    def deleteRecursively(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(deleteRecursively))
-      p.delete()
-    }
     SparkEntry.queries.foreach { case (name, fn) =>
       // delete the previous output FIRST: overwrite only clears the old
       // directory when the new write executes, so a query that now
       // throws would leave a stale-but-green parquet for the compare to
       // read — a regression must show as a missing output, not a pass
-      deleteRecursively(new java.io.File(s"$outDir/$name"))
+      MainUtil.deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
