@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses graft.Bench's one JSON stdout line; without
+// this the forked process's output is routed through sbt's logger and
+// arrives as "[info] {...}" (BENCH_r02.json recorded parsed:null).
+// StdoutOutput passes the child's stdout through unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,10 +34,18 @@ object SparkEntry {
       .select("docId", "subj", "pred", "obj", "canonical_author")
   }
 
+  /** NOTE on the `sfDir` argument: the relational (q*), text (t*) and
+    * similarity (s*) queries read the driver's parquet tables under
+    * `sfDir`; the kg* queries intentionally IGNORE it — their input is
+    * the deterministic in-memory fixture corpus (the reference's journal
+    * pages, which have no sfDir analogue), so their outputs are
+    * byte-stable across scale factors and can be VALUES-pinned in
+    * `oracleSql`.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ KgQueries.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
-      KgQueries.oracle
+      KgQueries.oracle ++ graft.queries.PinnedOracles.all
 }

@@ -23,7 +23,8 @@ import java.nio.charset.StandardCharsets
   * (no Iceberg runtime ships offline — SURVEY.md §7.4 risk 3); the
   * facade keeps a real catalog swappable.
   */
-final case class Checkpoint(root: String, runId: String) {
+final case class Checkpoint(root: String, runId: String,
+    version: String = Checkpoint.PipelineVersion) {
 
   private def stageDir(stage: String) = s"$root/$stage"
   private def marker(stage: String) = new HPath(s"${stageDir(stage)}/_SUCCESS_SNAPSHOT")
@@ -55,8 +56,16 @@ final case class Checkpoint(root: String, runId: String) {
   def completedSnapshot(spark: SparkSession, stage: String): Option[String] =
     readSmall(spark, marker(stage)).map(_.trim)
 
+  // The marker records snapshot AND pipeline version: a checkpoint root
+  // written by an older code revision must NOT resume as complete (it
+  // would silently serve a stale triple set + outdated _SCHEMA.json —
+  // exactly what adding a new predicate family does). Bump
+  // Checkpoint.PipelineVersion whenever any stage's output semantics or
+  // schema change.
+  private def markerContent(snapshotId: String) = s"$snapshotId@$version"
+
   def isComplete(spark: SparkSession, stage: String, snapshotId: String): Boolean =
-    completedSnapshot(spark, stage).contains(snapshotId)
+    completedSnapshot(spark, stage).contains(markerContent(snapshotId))
 
   /** Run `compute` unless this (stage, snapshotId) already committed;
     * either way return the stage's data as a DataFrame read from the
@@ -96,7 +105,7 @@ final case class Checkpoint(root: String, runId: String) {
       // (and in every resumed run) needs the recorded schema to avoid an
       // inference failure
       writeSmall(spark, schemaFile(stageName), withPart.drop("__pid").schema.json)
-      writeSmall(spark, marker(stageName), snapshotId)
+      writeSmall(spark, marker(stageName), markerContent(snapshotId))
     }
     val reader = readSmall(spark, schemaFile(stageName))
       .map(j => spark.read.schema(DataType.fromJson(j).asInstanceOf[StructType]))
@@ -109,6 +118,13 @@ final case class Checkpoint(root: String, runId: String) {
 }
 
 object Checkpoint {
+  /** Code/schema revision folded into every stage marker. Bump when any
+    * stage's output semantics or schema change, so pre-upgrade
+    * checkpoint roots recompute instead of resuming stale data.
+    * (v2: hasFunding/hasNote/hasEqualContribution predicates added.)
+    */
+  val PipelineVersion = "v2"
+
   /** Snapshot id of an input: sha256 of the sorted (path, sha) list would
     * be exact but requires a full pass; for the deterministic fixture
     * corpus the (generator, size) pair identifies the snapshot.

@@ -1,9 +1,10 @@
 package graft.queries
 
+import graft.exec.Checkpoint
 import graft.fixtures.FixtureCorpus
 import graft.model.PaperRecord
 import graft.rules.LlmResponseParser
-import graft.stages.{Ingest, MentionDetect, Pipeline}
+import graft.stages.{Canonicalize, Ingest, MentionDetect, Pipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -215,6 +216,79 @@ object KgQueries {
       .orderBy("doc_id")
   }
 
+  /** Hash-gated digest of the FULL kg01 triple stream (all 2185 rows of
+    * the replicated corpus, not the distinct set kg11 covers): per
+    * predicate, row count, distinct docs, and an order-independent
+    * xxhash64 row-sum. kg01 itself is too large to VALUES-pin sanely;
+    * this companion makes any change to its exact output (replication
+    * included) flip a hard red in the driver's hash compare.
+    */
+  private val kgTriplesDigest: Q = (s, _) => {
+    import s.implicits._
+    MentionDetect.triples(records(s).as[PaperRecord]).toDF()
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("docId")).as("n_docs"),
+        // pmod bounds each term to [0, 1e12) so the sum of even millions
+        // of rows stays far from Long.MaxValue — raw xxhash64 terms
+        // random-walk into ANSI ARITHMETIC_OVERFLOW within a few rows
+        sum(pmod(xxhash64(concat_ws("\u0001",
+          col("docId"), col("subj"), col("pred"), col("obj"))),
+          lit(1000000000000L))).as("row_hash_sum"))
+      .orderBy("pred")
+  }
+
+  /** Resume semantics surfaced as a CORRECTNESS row (north-rule
+    * resumability): runs the checkpointed pipeline TWICE into a fresh
+    * root — first under runId "run1", then "run2" with the same
+    * snapshot. Every stage must be SKIPPED on the second run, so the
+    * lineage tables still carry run1's runId; `resumed` below is true
+    * iff no stage recomputed. Output: per-stage snapshot, total rows,
+    * partition-count sanity (>0), and the resume bit — all
+    * deterministic, VALUES-pinned in the oracle.
+    */
+  private val kgLineage: Q = (s, _) => {
+    val n = 30
+    val root = java.nio.file.Files.createTempDirectory("graft_kg14_ckpt").toString
+    val snap = Checkpoint.snapshotId("fixture", n)
+    Pipeline.runCheckpointed(s, FixtureCorpus.corpus(s, n, 4), Checkpoint(root, "run1"), snap)
+    Pipeline.runCheckpointed(s, FixtureCorpus.corpus(s, n, 4), Checkpoint(root, "run2"), snap)
+    val ck = Checkpoint(root, "reader")
+    Seq("ingest", "records", "triples", "entities").map { st =>
+      ck.lineage(s, st)
+        .groupBy(col("stage"), col("snapshotId").as("snapshot"))
+        .agg(sum(col("rowCount")).as("n_rows"),
+          (count(lit(1)) > 0).as("has_partitions"),
+          (min(col("runId")) === "run1" && max(col("runId")) === "run1").as("resumed"))
+    }.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  /** The distributed connected-components path under the driver
+    * contract: a deterministic synthetic entity graph ABOVE the
+    * union-find cutoff (112,081 edges > 100,000), so
+    * Canonicalize.connectedComponents MUST take the label-propagation +
+    * pointer-jumping route (the 100 TB path — previously exercised only
+    * in specs). 120,000 vertices in 7,919 chain components (vertex i
+    * links to i+7919); canonical id = component min by construction.
+    * Output: component-size histogram + an order-independent hash of
+    * the canonical ids per size — 2 rows, VALUES-pinned.
+    */
+  private val kgCcComponents: Q = (s, _) => {
+    import s.implicits._
+    val nVerts = 120000L
+    val comps = 7919L // prime stride -> mixed component sizes (15 and 16)
+    def vname(c: org.apache.spark.sql.Column) = format_string("v%06d", c)
+    val edges = s.range(0L, nVerts - comps, 1L, 8)
+      .select(vname(col("id")).as("src"), vname(col("id") + comps).as("dst"))
+    val cc = Canonicalize.connectedComponents(edges)
+    cc.groupBy("canonicalId").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_components"),
+        // pmod: same ANSI-overflow guard as kg13's row_hash_sum
+        sum(pmod(xxhash64(col("canonicalId")), lit(1000000000000L))).as("canon_hash_sum"))
+      .orderBy("size")
+  }
+
   val all: Map[String, Q] = Map(
     "kg01_triples" -> kgTriples,
     "kg11_golden_check" -> kgGoldenCheck,
@@ -227,7 +301,10 @@ object KgQueries {
     "kg05_llm_parse" -> kgLlmParse,
     "kg06_canonical_map" -> kgCanonicalMap,
     "kg07_records_json" -> kgRecordsJson,
-    "kg08_quality" -> kgQuality)
+    "kg08_quality" -> kgQuality,
+    "kg13_triples_digest" -> kgTriplesDigest,
+    "kg14_lineage" -> kgLineage,
+    "kg15_cc_components" -> kgCcComponents)
 
   /** The kg11 oracle pins the golden per-predicate tallies as literal
     * VALUES (the golden TSV is static — regenerate both with

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.fixtures.FixtureCorpus
+
+/** VALUES-pinned DuckDB oracles for the queries whose semantics DuckDB
+  * cannot recompute (rule extraction, LSH blocking, iterative CC, image
+  * codecs, driver-seeded k-means): the expected output is captured once
+  * from a verified run at sf0.01 and shipped as a literal
+  * `SELECT ... FROM (VALUES ...)` resource, so the driver's compare
+  * gets a hard rows+schema+hash check instead of a rows-only pass
+  * (round-2 VERDICT "What's missing" #1 — 19 queries reported
+  * `no_oracle` forever).
+  *
+  * Every pinned query is deterministic AND parallelism-independent
+  * (outputs are value-identical at any cpu count / partitioning): the
+  * kg* family reads the in-memory fixture corpus, the s* and t07 family
+  * reads the driver's fixed sf parquet with seeded hashes/planes and
+  * vec_id tie-breaks. kg01_triples stays rows-only (its full 2185-row
+  * output embeds ~100 copies of every abstract); its exact output is
+  * hash-gated instead by the kg13_triples_digest companion pin.
+  *
+  * Regenerate after any INTENDED output change:
+  *   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_r3"
+  *   python3 tools/pin_oracle.py /tmp/verify_r3 <names...>
+  */
+object PinnedOracles {
+
+  val names: Seq[String] = Seq(
+    "kg02_ingest_sha", "kg03_entities", "kg04_wide_report", "kg05_llm_parse",
+    "kg06_canonical_map", "kg07_records_json", "kg08_quality",
+    "kg09_quarantine", "kg10_coauthors", "kg13_triples_digest",
+    "kg14_lineage", "kg15_cc_components",
+    "s01_minhash_neardup", "s02_simhash_neardup", "s04_ann_lsh_topk",
+    "s05_multimodal_decode", "s06_embedding_neardup", "s07_ann_ivf_topk",
+    "s08_frame_sample", "s09_ann_sq8_rerank", "t07_fingerprint")
+
+  /** Missing pin resources are skipped LOUDLY rather than crashing the
+    * whole oracle dump: during pin (re)generation the bootstrap Verify
+    * run must still produce every query's parquet (which the generator
+    * then pins); the affected query just reports rows-only for that
+    * bootstrap run. All pins exist in the committed tree.
+    */
+  val all: Map[String, String] = names.flatMap { n =>
+    val res = getClass.getResourceAsStream(s"/graft/pins/$n.sql")
+    if (res == null) {
+      System.err.println(s"[pins] WARNING: missing pin resource for $n — rows-only this run")
+      None
+    } else {
+      try res.close() catch { case _: Throwable => }
+      Some(n -> FixtureCorpus.resourceText(s"/graft/pins/$n.sql"))
+    }
+  }.toMap
+}

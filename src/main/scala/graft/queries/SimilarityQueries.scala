@@ -165,72 +165,153 @@ object SimilarityQueries {
   }
 
   /** ANN scale path: OR-amplified multi-table hyperplane LSH with
-    * 1-bit multiprobe. L tables of `bits` signed random projections;
-    * every corpus vector lands in ONE bucket per table (L small
-    * (id, table, bucket) rows to shuffle — the embedding itself never
-    * reshuffles beyond the candidate join); every probe examines its own
-    * bucket PLUS all Hamming-distance-1 buckets in each table, the
-    * candidate union is deduped and ranked by exact cosine.
+    * 1-bit multiprobe, probing a PERSISTED index. L tables of `bits`
+    * signed random projections; every corpus vector lands in ONE bucket
+    * per table. The blocking frame carries ONLY (vec_id, tbl, bucket) —
+    * three small longs, never the embedding (round-2's version
+    * replicated every vector L=8x through the flatMap); embeddings join
+    * back by vec_id for scoring only after candidate pruning.
+    *
+    * The index is built ONCE per embeddings snapshot and committed via
+    * [[graft.exec.Checkpoint]] (keyed on the table's (count, id-set
+    * fingerprint) + pipeline version); every later execution is
+    * probe-side only: read the 3-column index parquet, broadcast-join
+    * the multiprobe keys, score the surviving candidates. That closes
+    * round-2's gap where the O(N*L) index build ran inside every query
+    * and lost to brute force at all sizes. Query-time work:
+    * probes x L x (bits+1) bucket lookups, each ~32 candidates —
+    * O(log N) vectors scored per probe — plus one streaming pass of the
+    * embeddings scan through a broadcast candidate-set join.
     *
     * `bits` scales as log2(N/32) so expected bucket occupancy stays ~32
-    * at any corpus size: per-probe candidate work is L*(bits+1)*32 =
-    * O(log N) vectors scored, independent of N. (Round-1's single
-    * 12-bit table was a recall-zero trap: 4096 buckets over 500 vectors
-    * made every bucket a singleton, so probes found nothing.)
+    * at any corpus size. (Round-1's single 12-bit table was a
+    * recall-zero trap: 4096 buckets over 500 vectors made every bucket
+    * a singleton, so probes found nothing.)
     */
   private val annLsh: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val tables = 8
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    // parquet row-group metadata count — no data scan
-    val n = embs(dir).count()
+    // one tiny vec_id-column scan fingerprints the snapshot (content
+    // drift under identical ids is covered by Checkpoint.PipelineVersion
+    // bumps; an exact content hash would re-scan embeddings per query —
+    // the very cost the persisted index exists to amortize)
+    val fpRow = embs(dir).agg(
+      count(lit(1)).as("n"), sum(hash(col("vec_id"))).as("idsum")).head()
+    val n = fpRow.getLong(0)
     val bits = lshBits(n)
     val planes = lshPlanes(7000, tables, bits, dim = 64)
-    val corpus = e.flatMap { case (id, v) =>
-      (0 until tables).map(t => (id, v, t, lshBucket(v, planes(t))))
-    }.toDF("vec_id", "embedding", "tbl", "bucket")
+    val snap = s"$n-${fpRow.getLong(1)}-b$bits"
+    val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
+    val idx = ck.stage(s, s"lsh8_${dirTag(dir)}", snap) {
+      e.flatMap { case (id, v) =>
+        (0 until tables).map(t => (id, t, lshBucket(v, planes(t))))
+      }.toDF("vec_id", "tbl", "bucket")
+    }
     // probes: own bucket + every 1-bit flip (multiprobe) per table;
-    // 10 probes x 8 tables x (bits+1) rows -> trivially broadcastable
+    // 10 probes x 8 tables x (bits+1) keys -> trivially broadcastable
     val probes = e.filter(_._1 < 10).flatMap { case (id, v) =>
       (0 until tables).flatMap { t =>
         val k = lshBucket(v, planes(t))
-        (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, v, t, kk))
+        (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, t, kk))
       }
-    }.toDF("probe_id", "probe", "tbl", "bucket")
-    val pe = col("probe").cast("array<double>")
-    val ee = col("embedding").cast("array<double>")
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
-    corpus.join(broadcast(probes), Seq("tbl", "bucket"))
+    }.toDF("probe_id", "tbl", "bucket")
+    val cands = idx.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id")
       .dropDuplicates("probe_id", "vec_id") // union of L tables x multiprobe
-      .withColumn("cos_raw", dot(pe, ee) / (sqrt(dot(pe, pe)) * sqrt(dot(ee, ee))))
+    val ef = embs(dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pf = ef.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("probe"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+    // candidate set is small (O(log N) per probe) -> broadcast it; the
+    // embeddings scan streams through the join exactly once
+    ef.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(pf), Seq("probe_id"))
+      .withColumn("cos_raw",
+        dot(col("probe"), col("emb")) /
+          (sqrt(dot(col("probe"), col("probe"))) * sqrt(dot(col("emb"), col("emb")))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
       .orderBy("probe_id", "rank")
   }
 
-  /** Multimodal plumbing: documents as opaque binary blobs + typed
-    * metadata, "decoded" per partition by a stubbed codec (the real
-    * image/audio libs are absent offline — the decode is a deterministic
-    * fake; schema, batching and partition shape are the real contract).
+  /** Root for persisted ANN index stages (overridable for tests). */
+  private def annIndexRoot: String =
+    sys.env.getOrElse("GRAFT_ANN_INDEX_ROOT",
+      s"${System.getProperty("java.io.tmpdir")}/graft_ann_index")
+
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+
+  /** Deterministic tiny grayscale PNG for doc `id` — a REAL PNG byte
+    * stream (javax.imageio ships in the JDK, no egress needed), stands
+    * in for the image corpus that cannot exist offline. Pixel (x,y) =
+    * (x*7 + y*13 + id*31) mod 256, dims id-derived, so the decoded
+    * dimensions + pixel sum are value-checkable downstream.
     */
-  private val multimodalStub: Q = (s, dir) => {
+  def synthesizePng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 48).toInt
+    val h = 16 + ((id * 7) % 48).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x * 7 + y * 13 + id * 31) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Multimodal decode: documents as opaque binary blobs + typed
+    * metadata, decoded per partition by a REAL codec — javax.imageio's
+    * PNG reader (the JDK ships it; the heavier image/audio libs are
+    * absent offline). The blobs are synthesized PNGs (no image corpus
+    * exists offline) but the decode path is the genuine article: opaque
+    * bytes in, ImageIO.read per row, decoded width/height/pixel-sum
+    * out. Output columns derive ONLY from decoded pixel data (never
+    * from the synthesis parameters), so a broken decode cannot pass;
+    * encoder-dependent values like compressed size are deliberately
+    * excluded so the pinned oracle survives JDK PNG-encoder changes.
+    */
+  private val multimodalDecode: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
-    docs(dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"), col("source"))
-      .as[(Long, Array[Byte], String)]
+    val blobs = docs(dir).select("doc_id", "source").as[(Long, String)]
       .mapPartitions { it =>
-        // per-partition "codec" init happens here (stub)
-        it.map { case (id, blob, source) =>
-          val fakeW = 16 + (math.abs(MurmurHash3.bytesHash(blob, 1)) % 64)
-          val fakeH = 16 + (math.abs(MurmurHash3.bytesHash(blob, 2)) % 64)
-          (id, source, blob.length.toLong, fakeW, fakeH, blob.take(4).map(b => f"$b%02x").mkString)
+        it.map { case (id, source) => (id, source, synthesizePng(id)) }
+      }.toDF("doc_id", "source", "blob")
+    blobs.as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init: no disk-backed ImageIO cache on
+        // executors (temp-dir churn per image otherwise)
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, source, blob) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          require(img != null, s"undecodable blob for doc $id")
+          val raster = img.getRaster
+          var pxSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { pxSum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, source, img.getWidth, img.getHeight,
+            img.getWidth.toLong * img.getHeight, pxSum,
+            blob.take(4).map(b => f"$b%02x").mkString)
         }
       }
-      .toDF("doc_id", "source", "n_bytes", "width", "height", "magic")
+      .toDF("doc_id", "source", "width", "height", "n_pixels", "px_sum", "magic")
       .orderBy("doc_id")
   }
 
@@ -245,9 +326,12 @@ object SimilarityQueries {
     * QueriesSpec). The 0.3 threshold reflects the synthetic corpus
     * (isotropic vectors max out below 0.5 cosine) — real dedup runs 0.9+.
     *
-    * Scale shape: only (id, table, bucket) rows shuffle for blocking;
-    * candidate volume is bounded by tables x multiprobe x occupancy per
-    * row, never all-pairs.
+    * Scale shape: the blocking frames carry ONLY (vec_id, table, bucket)
+    * — never the embedding (round-2's version replicated every vector
+    * 8x through the flatMap); embeddings join back by vec_id on the
+    * deduped candidate pairs for the verify step. Candidate volume is
+    * bounded by tables x multiprobe x occupancy per row, never
+    * all-pairs.
     */
   private val embNeardup: Q = (s, dir) => {
     implicit val sp = s
@@ -258,24 +342,31 @@ object SimilarityQueries {
     val planes = lshPlanes(1100, tables, bits, dim = 64)
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
     val exact = e.flatMap { case (id, v) =>
-      (0 until tables).map(t => (id, v, t, lshBucket(v, planes(t))))
-    }.toDF("vec_id", "embedding", "tbl", "bucket")
+      (0 until tables).map(t => (id, t, lshBucket(v, planes(t))))
+    }.toDF("vec_id", "tbl", "bucket")
     // multiprobe side: own bucket + every 1-bit flip; with l.vec_id <
     // r.vec_id, (a flipped) meeting (b exact) covers every unordered pair
     // at Hamming distance <= 1 per table
     val probed = e.flatMap { case (id, v) =>
       (0 until tables).flatMap { t =>
         val k = lshBucket(v, planes(t))
-        (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, v, t, kk))
+        (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, t, kk))
       }
-    }.toDF("vec_id", "embedding", "tbl", "bucket")
+    }.toDF("vec_id", "tbl", "bucket")
+    val pairs = probed.as("l").join(exact.as("r"),
+        $"l.tbl" === $"r.tbl" && $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"))
+      .dropDuplicates("a", "b") // union across tables x multiprobe
+    // verify join: embeddings attach to the pruned pairs by equi-key —
+    // Spark broadcasts the side that fits (500 rows here) and falls back
+    // to a shuffle hash join at scale; either way content moves once per
+    // side, not once per table
+    val ev = embs(dir).select(col("vec_id"), col("embedding"))
     val pe = col("ea").cast("array<double>")
     val qe = col("eb").cast("array<double>")
-    probed.as("l").join(exact.as("r"),
-        $"l.tbl" === $"r.tbl" && $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
-      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
-        $"l.embedding".as("ea"), $"r.embedding".as("eb"))
-      .dropDuplicates("a", "b") // union across tables x multiprobe
+    pairs
+      .join(ev.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(ev.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("cosine",
         round(dot(pe, qe) / (sqrt(dot(pe, pe)) * sqrt(dot(qe, qe))), 6))
       .filter(col("cosine") >= 0.3)
@@ -462,7 +553,7 @@ object SimilarityQueries {
     "s02_simhash_neardup" -> simhashDedup,
     "s03_ann_cosine_topk" -> annBrute,
     "s04_ann_lsh_topk" -> annLsh,
-    "s05_multimodal_decode" -> multimodalStub,
+    "s05_multimodal_decode" -> multimodalDecode,
     "s06_embedding_neardup" -> embNeardup,
     "s07_ann_ivf_topk" -> annIvf,
     "s08_frame_sample" -> frameSample,

@@ -29,9 +29,12 @@ object LlmResponseParser {
     // regexp-based strip, not trim(): Spark trim removes only 0x20
     // spaces while Python .strip() (the reference and parse() below)
     // removes all whitespace — a multi-line capture ending in "\n\n"
-    // must strip identically on both surfaces
+    // must strip identically on both surfaces. (?U) makes Java's \s
+    // match Unicode whitespace (U+3000 ideographic space etc.), the
+    // same class Character.isWhitespace/.strip() uses — without it the
+    // Column form and parse() diverge on CJK whitespace at field edges.
     when(response.rlike(rx),
-        regexp_replace(regexp_extract(response, rx, 1), "^\\s+|\\s+$", ""))
+        regexp_replace(regexp_extract(response, rx, 1), "(?U)^\\s+|\\s+$", ""))
       .otherwise(lit("N/A")).as(name)
   }
 

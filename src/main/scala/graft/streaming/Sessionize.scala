@@ -54,7 +54,16 @@ object Sessionize {
     * parity: late events extend or bridge pending sessions, merge with
     * each other, and can arrive many sessions back. Events later than
     * the watermark bound are dropped by the state store — that is the
-    * single, standard divergence from batch.
+    * standard divergence from batch.
+    *
+    * Residual FP caveat: a session's total accumulates in merge-interval
+    * order here, while the batch plan's sum() accumulates in whatever
+    * order the aggregate consumes rows — for doubles that are not
+    * binary-exact (e.g. 0.005) the two sums can differ in the last ulp,
+    * which can flip the floor(x*100+0.5) rounding at an exact x.xx5
+    * boundary. Parity is bit-exact whenever values are binary-exact
+    * (integers, multiples of 2^-k — what SessionizePropSpec generates);
+    * currency-style inputs should be scaled to integral cents upstream.
     */
   def stateFn(gapUs: Long)(user: Long, events: Iterator[Event],
       state: GroupState[Pending]): Iterator[SessionOut] = {

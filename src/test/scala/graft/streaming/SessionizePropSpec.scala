@@ -41,12 +41,17 @@ class SessionizePropSpec extends SparkSpec with PropChecks {
     // the reference fold runs over the admitted events — the documented
     // contract: every admissible event keeps exact parity
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // values are multiples of 0.25: non-integer (so fractional-double
+    // summation is exercised) but binary-EXACT, so summation order
+    // cannot move the floor(x*100+0.5) rounding — the documented parity
+    // contract (Sessionize scaladoc: inexact decimals like 0.005 may
+    // differ in the last ulp across batch splits; exact values may not)
     val gen = for {
       n <- Gen.choose(1, 40)
       evs <- Gen.listOfN(n, for {
         ms <- Gen.choose(0L, 3000L)
-        v <- Gen.choose(-50, 50)
-      } yield (ms, v.toDouble))
+        v <- Gen.choose(-200, 200)
+      } yield (ms, v / 4.0))
       nBatches <- Gen.choose(1, 5)
       cuts <- Gen.listOfN(n, Gen.choose(0, nBatches - 1))
       delayMs <- Gen.choose(200L, 4000L)
@@ -88,11 +93,12 @@ class SessionizePropSpec extends SparkSpec with PropChecks {
   test("batch sessionization matches a sequential fold on random inputs") {
     import spark.implicits._
     val genEvents: Gen[List[(Long, Long, Double)]] =
+      // multiples of 0.25: see the stateFn test's generator note
       Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, for {
         u <- Gen.choose(0L, 3L)
         us <- Gen.choose(0L, 3000L)
-        v <- Gen.choose(-50, 50)
-      } yield (u, us, v.toDouble)))
+        v <- Gen.choose(-200, 200)
+      } yield (u, us, v / 4.0)))
 
     checkProp(forAll(genEvents) { evs =>
       val df = evs.toDF("user_id", "us0", "value")
