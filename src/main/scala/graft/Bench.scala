@@ -119,13 +119,14 @@ object Bench {
 
     // Linking + canonicalization over the distinct-name space (best of 2:
     // the first run pays the plan's one-time codegen like everything else).
-    val linkSec = (1 to 2).map { _ =>
+    val linkSamples = (1 to 2).map { _ =>
       time {
         val ment = MentionDetect.mentionsDirect(
           FixtureCorpus.corpus(spark, math.min(kgN, 2000), cpus.toInt * 2))
         Pipeline.entities(spark, ment).count()
       }._2
-    }.min
+    }
+    val linkSec = linkSamples.min
 
     // JsonOut: shared escaping + Locale.ROOT numbers with Verify — the
     // driver hard-fails on invalid JSON, so sfDir is escaped (quotes,
@@ -134,7 +135,8 @@ object Bench {
     import graft.JsonOut.{num, str}
     val qs = (results ++ Seq("kg_extract_pipeline" -> kgSec, "kg_entity_link" -> linkSec))
       .map { case (k, v) => str(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
-    val sampleJson = (rawSamples ++ Seq("kg_extract_pipeline" -> samples.map(_._2)))
+    val sampleJson = (rawSamples ++ Seq("kg_extract_pipeline" -> samples.map(_._2),
+        "kg_entity_link" -> linkSamples))
       .map { case (k, vs) => str(k) + ":" + vs.map(num(_, 3)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val fails = repFailures.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")

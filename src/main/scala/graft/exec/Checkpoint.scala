@@ -67,6 +67,17 @@ final case class Checkpoint(root: String, runId: String,
   def isComplete(spark: SparkSession, stage: String, snapshotId: String): Boolean =
     completedSnapshot(spark, stage).contains(markerContent(snapshotId))
 
+  /** Drop a stage's completion marker so the next stage() call
+    * recomputes — the escape hatch for a reader that detects a corrupt
+    * or short stage table (e.g. a concurrent-writer race on a shared
+    * root left a marker over partial data).
+    */
+  def invalidate(spark: SparkSession, stage: String): Unit = {
+    val f = fs(spark)
+    val m = marker(stage)
+    if (f.exists(m)) f.delete(m, false)
+  }
+
   /** Run `compute` unless this (stage, snapshotId) already committed;
     * either way return the stage's data as a DataFrame read from the
     * checkpoint table (so downstream plans cut lineage here).

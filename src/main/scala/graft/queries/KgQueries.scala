@@ -243,24 +243,31 @@ object KgQueries {
     * root — first under runId "run1", then "run2" with the same
     * snapshot. Every stage must be SKIPPED on the second run, so the
     * lineage tables still carry run1's runId; `resumed` below is true
-    * iff no stage recomputed. Output: per-stage snapshot, total rows,
-    * partition-count sanity (>0), and the resume bit — all
-    * deterministic, VALUES-pinned in the oracle.
+    * iff no stage recomputed. Output: per-stage snapshot, total lineage
+    * rows, and the resume bit — all deterministic (per-PARTITION detail
+    * is deliberately aggregated away: shuffle-stage partition counts
+    * follow spark.sql.shuffle.partitions, which the driver may set
+    * differently), VALUES-pinned in the oracle. The result is collected
+    * and re-created so the temp checkpoint root can be deleted before
+    * returning (no /tmp garbage per invocation).
     */
   private val kgLineage: Q = (s, _) => {
+    import s.implicits._
     val n = 30
     val root = java.nio.file.Files.createTempDirectory("graft_kg14_ckpt").toString
     val snap = Checkpoint.snapshotId("fixture", n)
     Pipeline.runCheckpointed(s, FixtureCorpus.corpus(s, n, 4), Checkpoint(root, "run1"), snap)
     Pipeline.runCheckpointed(s, FixtureCorpus.corpus(s, n, 4), Checkpoint(root, "run2"), snap)
     val ck = Checkpoint(root, "reader")
-    Seq("ingest", "records", "triples", "entities").map { st =>
+    val rows = Seq("ingest", "records", "triples", "entities").map { st =>
       ck.lineage(s, st)
         .groupBy(col("stage"), col("snapshotId").as("snapshot"))
         .agg(sum(col("rowCount")).as("n_rows"),
-          (count(lit(1)) > 0).as("has_partitions"),
           (min(col("runId")) === "run1" && max(col("runId")) === "run1").as("resumed"))
-    }.reduce(_.unionByName(_)).orderBy("stage")
+    }.reduce(_.unionByName(_)).orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    graft.MainUtil.deleteRecursively(new java.io.File(root))
+    rows.toDF("stage", "snapshot", "n_rows", "resumed").orderBy("stage")
   }
 
   /** The distributed connected-components path under the driver

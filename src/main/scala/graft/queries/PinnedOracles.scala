@@ -41,13 +41,11 @@ object PinnedOracles {
     * bootstrap run. All pins exist in the committed tree.
     */
   val all: Map[String, String] = names.flatMap { n =>
-    val res = getClass.getResourceAsStream(s"/graft/pins/$n.sql")
-    if (res == null) {
-      System.err.println(s"[pins] WARNING: missing pin resource for $n — rows-only this run")
-      None
-    } else {
-      try res.close() catch { case _: Throwable => }
-      Some(n -> FixtureCorpus.resourceText(s"/graft/pins/$n.sql"))
+    try Some(n -> FixtureCorpus.resourceText(s"/graft/pins/$n.sql"))
+    catch {
+      case _: IllegalArgumentException => // resourceText's missing-resource require
+        System.err.println(s"[pins] WARNING: missing pin resource for $n — rows-only this run")
+        None
     }
   }.toMap
 }

@@ -193,21 +193,38 @@ object SimilarityQueries {
     import sp.implicits._
     val tables = 8
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    // one tiny vec_id-column scan fingerprints the snapshot (content
-    // drift under identical ids is covered by Checkpoint.PipelineVersion
-    // bumps; an exact content hash would re-scan embeddings per query —
-    // the very cost the persisted index exists to amortize)
+    // snapshot fingerprint: full count + id-set hash (vec_id column
+    // only — tiny) PLUS a content hash over the first 256 embeddings
+    // (filter pushes to the scan, so this reads a few row groups, not
+    // the corpus) — regenerated data with identical ids would otherwise
+    // silently serve a stale index; an exact full-content hash would
+    // re-scan all embeddings per query, the very cost the persisted
+    // index exists to amortize. Residual drift beyond row 255 is
+    // covered by Checkpoint.PipelineVersion bumps.
     val fpRow = embs(dir).agg(
       count(lit(1)).as("n"), sum(hash(col("vec_id"))).as("idsum")).head()
     val n = fpRow.getLong(0)
+    val contentFp = embs(dir).filter(col("vec_id") < 256)
+      .agg(coalesce(sum(hash(col("embedding"))), lit(0L))).head().getLong(0)
     val bits = lshBits(n)
     val planes = lshPlanes(7000, tables, bits, dim = 64)
-    val snap = s"$n-${fpRow.getLong(1)}-b$bits"
+    val snap = s"$n-${fpRow.getLong(1)}-c$contentFp-b$bits"
     val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
-    val idx = ck.stage(s, s"lsh8_${dirTag(dir)}", snap) {
+    val stageName = s"lsh8_${dirTag(dir)}"
+    def buildIndex() = ck.stage(s, stageName, snap) {
       e.flatMap { case (id, v) =>
         (0 until tables).map(t => (id, t, lshBucket(v, planes(t))))
       }.toDF("vec_id", "tbl", "bucket")
+    }
+    var idx = buildIndex()
+    // read-back validation: the shared index root has no cross-process
+    // lock, so a concurrent-writer race could commit a marker over
+    // partial data — a short table invalidates and rebuilds once
+    if (idx.count() != n * tables) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ANN index $stageName failed row-count validation — rebuilding")
+      ck.invalidate(s, stageName)
+      idx = buildIndex()
     }
     // probes: own bucket + every 1-bit flip (multiprobe) per table;
     // 10 probes x 8 tables x (bits+1) keys -> trivially broadcastable
@@ -390,7 +407,17 @@ object SimilarityQueries {
     * closure-broadcast), mean per cluster (one small shuffle keyed by the
     * 16-value cid), driver-collect the 16 new centroids. Empty clusters
     * keep their previous centroid.
+    *
+    * Cluster sums accumulate in FIXED-POINT (coordinates scaled by 2^24
+    * and rounded to Long): integer addition is associative, so the
+    * centroids — and therefore s07's pinned output — are bit-identical
+    * at any cpu count / partition order. Double summation here would be
+    * partition-order-dependent in its last ulps, which could flip a
+    * near-equidistant vector's inverted list between runs. Range: 2^24
+    * scale x 1e6 rows x |coord| <= ~500 stays far below Long.MaxValue.
     */
+  private val LloydFp = (1L << 24).toDouble
+
   private def lloyd(e: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
       init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     import e.sparkSession.implicits._
@@ -398,15 +425,16 @@ object SimilarityQueries {
     for (_ <- 1 to iters) {
       val bc = cents
       val updated = e.map { case (_, v) =>
-        (nearestCids(v, bc, 1).head, v.map(_.toDouble).toArray, 1L)
+        (nearestCids(v, bc, 1).head,
+          v.map(x => Math.round(x.toDouble * LloydFp)).toArray, 1L)
       }.groupByKey(_._1)
         .reduceGroups { (a, b) =>
-          val s = new Array[Double](a._2.length)
+          val s = new Array[Long](a._2.length)
           var i = 0
           while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
           (a._1, s, a._3 + b._3)
         }
-        .map { case (cid, (_, sum, n)) => (cid, sum.map(_ / n)) }
+        .map { case (cid, (_, sum, n)) => (cid, sum.map(_ / LloydFp / n)) }
         .collect().toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }

@@ -27,21 +27,30 @@ object LlmResponseParser {
     */
   def columns(response: Column): Seq[Column] = fields.map { case (name, rx) =>
     // regexp-based strip, not trim(): Spark trim removes only 0x20
-    // spaces while Python .strip() (the reference and parse() below)
-    // removes all whitespace — a multi-line capture ending in "\n\n"
-    // must strip identically on both surfaces. (?U) makes Java's \s
-    // match Unicode whitespace (U+3000 ideographic space etc.), the
-    // same class Character.isWhitespace/.strip() uses — without it the
-    // Column form and parse() diverge on CJK whitespace at field edges.
+    // spaces while Python .strip() (the reference) removes all
+    // whitespace — a multi-line capture ending in "\n\n" must strip
+    // identically on both surfaces. (?U) makes Java's \s match Unicode
+    // White_Space (U+3000 ideographic space, U+00A0 NBSP, ...), the
+    // class closest to Python's .strip() — notably Java's
+    // String.strip()/Character.isWhitespace EXCLUDES NBSP, which Python
+    // strips, so parse() below shares this regex instead of .strip.
     when(response.rlike(rx),
-        regexp_replace(regexp_extract(response, rx, 1), "(?U)^\\s+|\\s+$", ""))
+        regexp_replace(regexp_extract(response, rx, 1), StripRx, ""))
       .otherwise(lit("N/A")).as(name)
   }
+
+  /** The shared strip class — one definition so the Column form and
+    * parse() cannot diverge (they previously did on NBSP: (?U)\s
+    * matches it, Character.isWhitespace does not).
+    */
+  private[rules] val StripRx = "(?U)^\\s+|\\s+$"
+  private val StripPattern = StripRx.r
 
   /** Pure-Scala variant for unit tests and mapPartitions use. */
   def parse(response: String): Map[String, String] = {
     fields.map { case (name, rx) =>
-      name -> rx.r.findFirstMatchIn(response).map(_.group(1).strip).getOrElse("N/A")
+      name -> rx.r.findFirstMatchIn(response)
+        .map(m => StripPattern.replaceAllIn(m.group(1), "")).getOrElse("N/A")
     }.toMap
   }
 }

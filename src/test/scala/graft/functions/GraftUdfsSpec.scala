@@ -55,7 +55,10 @@ class GraftUdfsSpec extends SparkSpec {
     // multi-line intro ending in \n\n before the next marker — the shape
     // of main.py's own worked example; Spark trim() would keep the
     // newlines where Python .strip() removes them
-    val resp = "新闻风格介绍：line one\nline two\n\n论文信息提取：第一作者/共同作者单位/通讯作者单位：X，" +
+    // field edges carry \n\n, U+3000 ideographic space AND U+00A0 NBSP:
+    // both surfaces share the (?U)\s strip class (Java String.strip
+    // would KEEP the NBSP — the pre-round-3 divergence)
+    val resp = "新闻风格介绍：line one\nline two\n\n论文信息提取：第一作者/共同作者单位/通讯作者单位：\u3000X\u00a0，" +
       "其他作者单位：Y，所有作者单位所属国家：Z，论文url链接：u，论文名：T"
     val fromCols = Seq(resp).toDF("response")
       .select(LlmResponseParser.columns(org.apache.spark.sql.functions.col("response")): _*)
@@ -65,6 +68,7 @@ class GraftUdfsSpec extends SparkSpec {
       assert(fromCols.getString(i) == fromScala(name), name)
     }
     assert(fromScala("news_intro") == "line one\nline two") // no trailing \n\n
+    assert(fromScala("first_corr_affils") == "X") // U+3000 and NBSP both stripped
   }
 
   test("null inputs return null through every registered UDF") {

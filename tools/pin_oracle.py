@@ -38,6 +38,8 @@ def render(v, typ):
         f = float(v)
         if math.isnan(f):
             return "CAST('nan' AS DOUBLE)"
+        if math.isinf(f):  # repr() would emit a bare non-SQL 'inf' token
+            return f"CAST('{'infinity' if f > 0 else '-infinity'}' AS DOUBLE)"
         return repr(f)  # round-trips exactly
     if t == "BOOLEAN":
         return "TRUE" if v else "FALSE"
