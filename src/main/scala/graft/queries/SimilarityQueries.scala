@@ -193,22 +193,10 @@ object SimilarityQueries {
     import sp.implicits._
     val tables = 8
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    // snapshot fingerprint: full count + id-set hash (vec_id column
-    // only — tiny) PLUS a content hash over the first 256 embeddings
-    // (filter pushes to the scan, so this reads a few row groups, not
-    // the corpus) — regenerated data with identical ids would otherwise
-    // silently serve a stale index; an exact full-content hash would
-    // re-scan all embeddings per query, the very cost the persisted
-    // index exists to amortize. Residual drift beyond row 255 is
-    // covered by Checkpoint.PipelineVersion bumps.
-    val fpRow = embs(dir).agg(
-      count(lit(1)).as("n"), sum(hash(col("vec_id"))).as("idsum")).head()
-    val n = fpRow.getLong(0)
-    val contentFp = embs(dir).filter(col("vec_id") < 256)
-      .agg(coalesce(sum(hash(col("embedding"))), lit(0L))).head().getLong(0)
+    val (n, snapBase) = embSnapshot(dir)
     val bits = lshBits(n)
     val planes = lshPlanes(7000, tables, bits, dim = 64)
-    val snap = s"$n-${fpRow.getLong(1)}-c$contentFp-b$bits"
+    val snap = s"$snapBase-b$bits"
     val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
     val stageName = s"lsh8_${dirTag(dir)}"
     def buildIndex() = ck.stage(s, stageName, snap) {
@@ -260,18 +248,34 @@ object SimilarityQueries {
     sys.env.getOrElse("GRAFT_ANN_INDEX_ROOT",
       s"${System.getProperty("java.io.tmpdir")}/graft_ann_index")
 
+  /** Embeddings-snapshot fingerprint shared by the persisted ANN
+    * indexes (s04 LSH, s07 IVF): full count + id-set hash (vec_id
+    * column only — tiny) PLUS a content hash over the first 256
+    * embeddings (the filter pushes to the scan, so this reads a few
+    * row groups, not the corpus) — regenerated data with identical ids
+    * would otherwise silently serve a stale index; an exact
+    * full-content hash would re-scan all embeddings per query, the very
+    * cost a persisted index exists to amortize. Residual drift beyond
+    * row 255 is covered by Checkpoint.PipelineVersion bumps.
+    */
+  private def embSnapshot(dir: String)(implicit s: SparkSession): (Long, String) = {
+    val fpRow = embs(dir).agg(
+      count(lit(1)).as("n"), sum(hash(col("vec_id"))).as("idsum")).head()
+    val n = fpRow.getLong(0)
+    val contentFp = embs(dir).filter(col("vec_id") < 256)
+      .agg(coalesce(sum(hash(col("embedding"))), lit(0L))).head().getLong(0)
+    (n, s"$n-${fpRow.getLong(1)}-c$contentFp")
+  }
+
   private def dirTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
 
-  /** Deterministic tiny grayscale PNG for doc `id` — a REAL PNG byte
-    * stream (javax.imageio ships in the JDK, no egress needed), stands
-    * in for the image corpus that cannot exist offline. Pixel (x,y) =
-    * (x*7 + y*13 + id*31) mod 256, dims id-derived, so the decoded
-    * dimensions + pixel sum are value-checkable downstream.
+  /** Deterministic grayscale PNG: pixel (x,y) = (x*7 + y*13 + seed)
+    * mod 256 — a REAL PNG byte stream (javax.imageio ships in the JDK,
+    * no egress needed), standing in for the image/video corpus that
+    * cannot exist offline.
     */
-  def synthesizePng(id: Long): Array[Byte] = {
-    val w = 16 + (id % 48).toInt
-    val h = 16 + ((id * 7) % 48).toInt
+  private def pngOf(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -279,7 +283,7 @@ object SimilarityQueries {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((x * 7 + y * 13 + id * 31) % 256).toInt)
+        raster.setSample(x, y, 0, ((x * 7 + y * 13 + seed) % 256).toInt)
         x += 1
       }
       y += 1
@@ -287,6 +291,46 @@ object SimilarityQueries {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** Deterministic tiny PNG for doc `id` (s05's corpus stand-in): dims
+    * id-derived, so the decoded dimensions + pixel sum are
+    * value-checkable downstream.
+    */
+  def synthesizePng(id: Long): Array[Byte] =
+    pngOf(16 + (id % 48).toInt, 16 + ((id * 7) % 48).toInt, id * 31)
+
+  /** Deterministic "clip" for doc `id` (s08's corpus stand-in): a crude
+    * container of length-prefixed PNG frames — 4-byte big-endian frame
+    * size, then the frame bytes, repeated (real video containers need
+    * codec libs that are absent offline; every FRAME is a genuine PNG).
+    */
+  def synthesizeClip(id: Long): Array[Byte] = {
+    val nFrames = 4 + (id % 13).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    (0 until nFrames).foreach { f =>
+      val png = pngOf(8 + ((id + f * 5) % 24).toInt,
+        8 + (((id + f) * 7) % 24).toInt, id * 31 + f * 17)
+      dos.writeInt(png.length)
+      dos.write(png)
+    }
+    out.toByteArray
+  }
+
+  /** Split a length-prefixed clip container back into frame byte
+    * arrays (the decoder side of [[synthesizeClip]]'s format).
+    */
+  def clipFrames(blob: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blob))
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (in.available() >= 4) {
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      frames += frame
+    }
+    frames.result()
   }
 
   /** Multimodal decode: documents as opaque binary blobs + typed
@@ -443,33 +487,56 @@ object SimilarityQueries {
 
   /** IVF-Flat ANN (the other scale path besides hyperplane LSH): a tiny
     * k-means coarse quantizer (16 centroids, seeded from the first 16
-    * vectors, refined by 2 Lloyd iterations) partitions the corpus into
-    * inverted lists; probes scan only their nprobe=2 nearest lists. The
-    * quantizer is driver-collected and closure-broadcast — at 100 TB the
-    * centroid set stays tiny (k ~ sqrt N) while the corpus-side
-    * assignment remains a shuffle-free single pass; the probe⋈list join
-    * broadcasts the probe side. s03 brute force is the exact-answer
-    * reference (recall asserted in QueriesSpec).
+    * vectors, refined by 2 fixed-point Lloyd iterations) partitions the
+    * corpus into inverted lists; probes scan only their nprobe=2
+    * nearest lists.
+    *
+    * Like s04, the index is PERSISTED once per embeddings snapshot via
+    * Checkpoint: a 16-row centroid table plus the corpus
+    * (vec_id, embedding, cid) PARTITIONED BY cid — so the probe-side
+    * scan's `cid IN (probed lists)` filter becomes parquet PARTITION
+    * PRUNING and only nprobe/k of the corpus is read from disk at query
+    * time, the genuine IVF list-scan behavior (plan-asserted in
+    * QueriesSpec). The quantizer is driver-collected (16 rows —
+    * legitimate; k stays ~sqrt N at scale), the probe⋈list join
+    * broadcasts the 10x2-row probe side. s03 brute force is the
+    * exact-answer reference (recall asserted in QueriesSpec).
     */
   private val annIvf: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val nProbe = 2
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    val seed: Array[Array[Double]] =
-      e.filter(_._1 < 16).collect().sortBy(_._1).map(_._2.map(_.toDouble).toArray)
-    require(seed.nonEmpty,
-      "s07 IVF: no quantizer seed vectors (expected rows with vec_id < 16)")
-    val centroids = lloyd(e, seed, iters = 2)
-    val assigned = e.map { case (id, v) => (id, v, nearestCids(v, centroids, 1).head) }
-      .toDF("vec_id", "embedding", "cid")
-    val probes = e.filter(_._1 < 10)
+    val (_, snapBase) = embSnapshot(dir)
+    val snap = s"$snapBase-k16i2"
+    val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
+    val centDf = ck.stage(s, s"ivf16_cent_${dirTag(dir)}", snap) {
+      val seed: Array[Array[Double]] =
+        e.filter(_._1 < 16).collect().sortBy(_._1).map(_._2.map(_.toDouble).toArray)
+      require(seed.nonEmpty,
+        "s07 IVF: no quantizer seed vectors (expected rows with vec_id < 16)")
+      lloyd(e, seed, iters = 2).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid")
+    }
+    val centroids: Array[Array[Double]] = centDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val assigned = ck.stage(s, s"ivf16_assign_${dirTag(dir)}", snap,
+        partitionByCols = Seq("cid")) {
+      e.map { case (id, v) => (id, v, nearestCids(v, centroids, 1).head) }
+        .toDF("vec_id", "embedding", "cid")
+    }
+    val probeRows = e.filter(_._1 < 10).collect()
       .flatMap { case (id, v) => nearestCids(v, centroids, nProbe).map(c => (id, v, c)) }
-      .toDF("probe_id", "probe", "cid")
+    val probes = probeRows.toSeq.toDF("probe_id", "probe", "cid")
+    // the probed list ids, known up front -> the filter is a literal IN
+    // over the partition column and prunes the parquet scan to those
+    // cid= directories
+    val probedCids = probeRows.map(_._3).distinct.toSeq
     val pe = col("probe").cast("array<double>")
     val ee = col("embedding").cast("array<double>")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
+    assigned.filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos_raw", dot(pe, ee) / (sqrt(dot(pe, pe)) * sqrt(dot(ee, ee))))
       .withColumn("rank", row_number().over(w))
@@ -540,36 +607,55 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
-  /** Multimodal frame-sample + resize plumbing (video/image shape): the
-    * blob is treated as fixed-size frames; every 4th frame is sampled
-    * and "resized" by the stub codec (real decoders are absent offline —
-    * deterministic fakes stand in; the Spark contract being exercised is
-    * the batch shape: one binary row in, an array of per-frame features
-    * out, per-partition codec init, no driver involvement).
+  /** Multimodal frame-sample + resize (video shape) with a REAL codec:
+    * the blob is a container of length-prefixed PNG frames (see
+    * [[synthesizeClip]] — the container framing is synthetic because no
+    * video-container libs ship offline, but every frame is a genuine
+    * PNG); every 4th frame is decoded with javax.imageio and resized to
+    * a 16x16 grayscale thumbnail through Graphics2D bilinear drawImage
+    * — the actual thumbnailing operation a training-data pipeline runs.
+    * Per-frame output (decoded WxH + resized pixel sum) derives only
+    * from decoded pixel data, so a broken decode or resize cannot pass
+    * the pinned oracle. Spark contract exercised: one binary row in,
+    * per-frame features out, per-partition codec init, no driver
+    * involvement.
     */
   private val frameSample: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
-    val frameBytes = 256
     val stride = 4
-    docs(dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      .as[(Long, Array[Byte])]
+    val blobs = docs(dir).select("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, synthesizeClip(id)))).toDF("doc_id", "blob")
+    blobs.as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec" init happens here (stub)
+        // per-partition codec init: no disk-backed ImageIO cache
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, blob) =>
-          val nFrames = (blob.length + frameBytes - 1) / frameBytes
-          val sampled = (0 until nFrames by stride).map { f =>
-            val frame = blob.slice(f * frameBytes, (f + 1) * frameBytes)
-            val h = MurmurHash3.bytesHash(frame, 42)
-            // "resize": stub produces the target dims + a checksum the
-            // way a real thumbnailer returns (w, h, bytes)
-            (f, 32, 32, h)
+          val frames = clipFrames(blob)
+          val sampled = (frames.indices by stride).map { f =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(f)))
+            require(img != null, s"undecodable frame $f for doc $id")
+            val thumb = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = thumb.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 16, 16, null)
+            g.dispose()
+            val raster = thumb.getRaster
+            var pxSum = 0L
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) { pxSum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            f"$f:${img.getWidth}x${img.getHeight}->16x16:$pxSum"
           }
           // scalar ";"-joined column (not array<string>): the driver's
-          // rows-only compare sorts pandas frames and chokes on arrays
-          (id, nFrames, sampled.length,
-            sampled.map { case (f, w, h, x) => f"$f%d:$w%dx$h%d:$x%08x" }.mkString(";"))
+          // compare sorts pandas frames and chokes on arrays
+          (id, frames.length, sampled.length, sampled.mkString(";"))
         }
       }
       .toDF("doc_id", "n_frames", "n_sampled", "sampled_frames")

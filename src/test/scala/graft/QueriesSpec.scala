@@ -123,6 +123,29 @@ class QueriesSpec extends SparkSpec {
     assert(lsh.size >= 45, s"lsh rows: ${lsh.size}")
   }
 
+  test("s04 probe path broadcasts candidates and probes (no sort-merge)") {
+    // the scale contract of the persisted-index design: the embeddings
+    // scan must stream through BROADCAST joins against the (small)
+    // candidate set and probe vectors — a SortMergeJoin here would
+    // shuffle the full embeddings table per query, the exact cost the
+    // index exists to avoid
+    val plan = SparkEntry.queries("s04_ann_lsh_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("s07 probe scan partition-prunes to the probed inverted lists") {
+    // the persisted IVF index is written partitionBy(cid); the probe's
+    // literal `cid IN (...)` must reach the scan as a PartitionFilter —
+    // that pruning (read nprobe/k of the corpus, not all of it) IS the
+    // IVF scale story
+    val plan = SparkEntry.queries("s07_ann_ivf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // a NON-EMPTY PartitionFilters clause naming cid on the index scan
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("s05 decodes real PNG bytes: ImageIO round-trip drives the output") {
     val id = 42L
     val png = graft.queries.SimilarityQueries.synthesizePng(id)
@@ -139,6 +162,31 @@ class QueriesSpec extends SparkSpec {
     assert(row.getAs[Int]("width") == w)
     assert(row.getAs[Int]("height") == h)
     assert(row.getAs[Long]("px_sum") == expectedSum)
+  }
+
+  test("s08 decodes real PNG frames and resizes through the AWT pipeline") {
+    import graft.queries.SimilarityQueries
+    val id = 42L
+    val frames = SimilarityQueries.clipFrames(SimilarityQueries.synthesizeClip(id))
+    assert(frames.nonEmpty)
+    frames.foreach(fr =>
+      assert(fr.take(4).map(b => f"$b%02x").mkString == "89504e47", "frame not a PNG"))
+    val row = SparkEntry.queries("s08_frame_sample")(spark, sf)
+      .filter(col("doc_id") === id).head
+    assert(row.getAs[Int]("n_frames") == frames.length)
+    val entries = row.getAs[String]("sampled_frames").split(";")
+    val sampledIdx = frames.indices by 4
+    assert(entries.length == sampledIdx.size)
+    assert(row.getAs[Int]("n_sampled") == sampledIdx.size)
+    // every sampled entry's WxH must equal the INDEPENDENTLY decoded
+    // dims of that container frame — the output can only come from a
+    // real decode of the frame bytes
+    entries.zip(sampledIdx).foreach { case (e, fi) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(fi)))
+      assert(e.startsWith(s"$fi:${img.getWidth}x${img.getHeight}->16x16:"), e)
+      val pxSum = e.split(":").last.toLong
+      assert(pxSum > 0 && pxSum <= 16L * 16 * 255)
+    }
   }
 
   test("s09 SQ8 ANN: exact rerank cosines, high recall vs s03 brute force") {
