@@ -67,7 +67,7 @@ object AnnScaleProbe {
     }
 
     val brute = run("s03_ann_cosine_topk")
-    for (name <- Seq("s04_ann_lsh_topk", "s09_ann_sq8_rerank")) {
+    for (name <- Seq("s04_ann_lsh_topk", "s07_ann_ivf_topk", "s09_ann_sq8_rerank")) {
       val approx = run(name)
       val common = approx.keySet.intersect(brute.keySet)
       // report drift instead of crashing: a cosine mismatch would discard

@@ -25,8 +25,8 @@ object Bench {
     "t01_dedup_exact", "t02_token_count", "t03_quality_score", "t04_lang_id",
     "t06_bpe_tokens", "t08_repetition_ratio", "t09_train_split", "t12_redact",
     "s01_minhash_neardup", "s02_simhash_neardup", "s03_ann_cosine_topk",
-    "s04_ann_lsh_topk", "s05_multimodal_decode", "s07_ann_ivf_topk",
-    "s09_ann_sq8_rerank")
+    "s04_ann_lsh_topk", "s05_multimodal_decode", "s06_embedding_neardup",
+    "s07_ann_ivf_topk", "s08_frame_sample", "s09_ann_sq8_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
