@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RegexpCountFast, SimHash64}
+import graft.functions.{CosineSimilarity, RegexpCountFast, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal, RegExpExtractAll, Size}
@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("regexp_count_fast", 2, exprs)
         RegexpCountFast(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("cosine_sim", 2, exprs)
+        CosineSimilarity(exprs.head, exprs(1))
       }))
   }
 }

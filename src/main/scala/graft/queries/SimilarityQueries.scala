@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.CosineSimilarity.cosineSim
 import graft.stages.EntityLink
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -109,8 +110,6 @@ object SimilarityQueries {
       .orderBy("a", "b")
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Brute-force cosine top-k: 10 probes x full corpus, exact answer.
     * Probe set is broadcast; the corpus scans once, no shuffle of
@@ -125,9 +124,7 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_raw").desc, col("vec_id"))
     e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos_raw",
-        dot(col("probe"), col("emb")) /
-          (sqrt(dot(col("probe"), col("probe"))) * sqrt(dot(col("emb"), col("emb")))))
+      .withColumn("cos_raw", cosineSim(col("probe"), col("emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
@@ -234,9 +231,7 @@ object SimilarityQueries {
     // embeddings scan streams through the join exactly once
     ef.join(broadcast(cands), Seq("vec_id"))
       .join(broadcast(pf), Seq("probe_id"))
-      .withColumn("cos_raw",
-        dot(col("probe"), col("emb")) /
-          (sqrt(dot(col("probe"), col("probe"))) * sqrt(dot(col("emb"), col("emb")))))
+      .withColumn("cos_raw", cosineSim(col("probe"), col("emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
@@ -428,8 +423,7 @@ object SimilarityQueries {
     pairs
       .join(ev.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(ev.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
-      .withColumn("cosine",
-        round(dot(pe, qe) / (sqrt(dot(pe, pe)) * sqrt(dot(qe, qe))), 6))
+      .withColumn("cosine", round(cosineSim(pe, qe), 6))
       .filter(col("cosine") >= 0.3)
       .select("a", "b", "cosine")
       .orderBy("a", "b")
@@ -538,7 +532,7 @@ object SimilarityQueries {
     assigned.filter(col("cid").isin(probedCids: _*))
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos_raw", dot(pe, ee) / (sqrt(dot(pe, pe)) * sqrt(dot(ee, ee))))
+      .withColumn("cos_raw", cosineSim(pe, ee))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
@@ -598,9 +592,7 @@ object SimilarityQueries {
     candidates
       .join(ef.select(col("vec_id"), col("emb")), Seq("vec_id"))
       .join(broadcast(pf), Seq("probe_id"))
-      .withColumn("cos_raw",
-        dot(col("probe"), col("emb")) /
-          (sqrt(dot(col("probe"), col("probe"))) * sqrt(dot(col("emb"), col("emb")))))
+      .withColumn("cos_raw", cosineSim(col("probe"), col("emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
