@@ -552,19 +552,28 @@ object SimilarityQueries {
     * 0.66 ADC/window-50, ~1.0 ADC/window-100. A float rerank (exact
     * cosine, shared math with s03) picks the final top-5. Deterministic;
     * recall + exact-cosine equality vs s03 asserted in QueriesSpec and
-    * at scale in AnnScaleProbe.
+    * at scale in AnnScaleProbe. The int8 table itself persists via
+    * Checkpoint (like s04's buckets and s07's lists), so query time
+    * skips the quantization pass and scans the 4x-smaller table only.
     */
   private val annSq8: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val rerankWindow = 100
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    val quant = e.map { case (id, v) =>
-      val maxAbs = math.max(v.iterator.map(x => math.abs(x.toDouble)).max, 1e-30)
-      val scale = 127.0 / maxAbs
-      (id, v.map(x => math.round(x * scale).toByte).toArray, scale,
-        math.sqrt(v.iterator.map(x => x.toDouble * x).sum))
-    }.toDF("vec_id", "q", "scale", "norm")
+    // the int8 table is the third persisted ANN index (with s04's LSH
+    // buckets and s07's inverted lists): quantization commits once per
+    // embeddings snapshot; every query scans the 4x-smaller table
+    val (_, snapBase) = embSnapshot(dir)
+    val quant = graft.exec.Checkpoint(annIndexRoot, "ann-index")
+      .stage(s, s"sq8_${dirTag(dir)}", s"$snapBase-sq8") {
+        e.map { case (id, v) =>
+          val maxAbs = math.max(v.iterator.map(x => math.abs(x.toDouble)).max, 1e-30)
+          val scale = 127.0 / maxAbs
+          (id, v.map(x => math.round(x * scale).toByte).toArray, scale,
+            math.sqrt(v.iterator.map(x => x.toDouble * x).sum))
+        }.toDF("vec_id", "q", "scale", "norm")
+      }
     val probes = e.filter(_._1 < 10)
       .map { case (id, v) =>
         (id, v.map(_.toDouble).toArray,
