@@ -141,17 +141,27 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = repFailures.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec + linkSec
-    val json =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"samples":$sampleJson,"rep_failures":$fails,"sf":${str(sfDir)},"cpus":${cpus.trim.toInt},"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${num(tps, 1)}}"""
-    // the driver machine-parses this JSON; under sbt, stdout lines get an
-    // "[info] " prefix and trailing [success] lines follow — so (a) write
-    // it to a file and (b) print it AFTER spark.stop() so no Spark
-    // shutdown logs trail it on stdout
+    // TWO records, same fields except `samples`:
+    //  - compact (no per-rep samples, ~1.1 kB) is the FINAL stdout line —
+    //    the driver's tail capture is a bounded window and round 3 proved
+    //    the samples-bearing line (~3.4 kB) outgrows it (BENCH_r03.json
+    //    "parsed": null with the recorded tail starting mid-JSON);
+    //  - full (with samples) goes to BENCH_OUT.json for the per-rep
+    //    evidence trail (round-2 q08 noise diagnosis depends on it).
+    val common =
+      s""""unit":"sec","queries":$qs,"rep_failures":$fails,"sf":${str(sfDir)},"cpus":${cpus.trim.toInt},"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${num(tps, 1)}"""
+    val compactJson = s"""{"metric":"total","value":${num(total, 3)},$common}"""
+    val fullJson =
+      s"""{"metric":"total","value":${num(total, 3)},$common,"samples":$sampleJson}"""
+    // the driver machine-parses the final stdout line; under sbt, stdout
+    // lines get an "[info] " prefix and trailing [success] lines follow —
+    // so (a) write the full record to a file and (b) print the compact
+    // line AFTER spark.stop() so no Spark shutdown logs trail it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
-    println(json)
+    println(compactJson)
   }
 }

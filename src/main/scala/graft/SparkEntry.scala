@@ -48,4 +48,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
       KgQueries.oracle ++ graft.queries.PinnedOracles.all
+
+  /** sfDir-aware oracle set (what Verify ships): identical to
+    * [[oracleSql]] at the pin-capture sf (sf0.01 — the driver's Verify
+    * sf), but data-dependent VALUES pins are DROPPED for any other
+    * sfDir so a mismatched run degrades to rows-only checks instead of
+    * spuriously hard-failing the compare.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
+      KgQueries.oracle ++ graft.queries.PinnedOracles.forSfDir(sfDir)
 }

@@ -34,7 +34,10 @@ object Verify {
     // otherwise make the driver's json.load fail and silently zero the
     // round's correctness.
     import graft.JsonOut.str
-    val json = SparkEntry.oracleSql
+    // sfDir-aware: data-dependent VALUES pins ship only at their capture
+    // sf (sf0.01); other sfDirs get rows-only for those queries instead
+    // of a spurious hard-fail (PinnedOracles.forSfDir logs the drops)
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${str(k)}: ${str(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

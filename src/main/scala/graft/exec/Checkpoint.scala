@@ -53,8 +53,20 @@ final case class Checkpoint(root: String, runId: String,
     finally out.close()
   }
 
+  // First marker line only: rows=N (when present) trails on line 2.
   def completedSnapshot(spark: SparkSession, stage: String): Option[String] =
-    readSmall(spark, marker(stage)).map(_.trim)
+    readSmall(spark, marker(stage)).map(_.linesIterator.next().trim)
+
+  /** Row count recorded in the stage marker at commit time — lets a
+    * reader validate a shared-root stage table against its committed
+    * size WITHOUT scanning the data (the s04 read-back `count()` this
+    * replaces was an O(N) job taxing every probe query). None for
+    * markers written before the rows line existed (treat as
+    * unvalidatable and rebuild).
+    */
+  def committedRowCount(spark: SparkSession, stage: String): Option[Long] =
+    readSmall(spark, marker(stage)).flatMap(_.linesIterator
+      .find(_.startsWith("rows=")).map(_.stripPrefix("rows=").trim.toLong))
 
   // The marker records snapshot AND pipeline version: a checkpoint root
   // written by an older code revision must NOT resume as complete (it
@@ -110,13 +122,18 @@ final case class Checkpoint(root: String, runId: String,
         .withColumn("snapshotId", lit(snapshotId))
         .withColumn("wallMs", lit(wallMs))
       lineage.write.mode("overwrite").parquet(s"${stageDir(stageName)}/lineage")
+      // total rows from the cached frame (cheap — withPart is persisted);
+      // recorded on the marker's second line so index readers can
+      // validate a committed stage in O(1)
+      val totalRows = withPart.count()
       withPart.unpersist()
       // schema sidecar BEFORE the marker: an empty partitioned stage
       // writes no schema-bearing parquet file, so the read-back below
       // (and in every resumed run) needs the recorded schema to avoid an
       // inference failure
       writeSmall(spark, schemaFile(stageName), withPart.drop("__pid").schema.json)
-      writeSmall(spark, marker(stageName), markerContent(snapshotId))
+      writeSmall(spark, marker(stageName),
+        s"${markerContent(snapshotId)}\nrows=$totalRows")
     }
     val reader = readSmall(spark, schemaFile(stageName))
       .map(j => spark.read.schema(DataType.fromJson(j).asInstanceOf[StructType]))

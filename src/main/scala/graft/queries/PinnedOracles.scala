@@ -26,13 +26,40 @@ import graft.fixtures.FixtureCorpus
 object PinnedOracles {
 
   val names: Seq[String] = Seq(
-    "kg02_ingest_sha", "kg03_entities", "kg04_wide_report", "kg05_llm_parse",
-    "kg06_canonical_map", "kg07_records_json", "kg08_quality",
+    "kg01_triples", "kg02_ingest_sha", "kg03_entities", "kg04_wide_report",
+    "kg05_llm_parse", "kg06_canonical_map", "kg07_records_json", "kg08_quality",
     "kg09_quarantine", "kg10_coauthors", "kg13_triples_digest",
     "kg14_lineage", "kg15_cc_components",
     "s01_minhash_neardup", "s02_simhash_neardup", "s04_ann_lsh_topk",
     "s05_multimodal_decode", "s06_embedding_neardup", "s07_ann_ivf_topk",
-    "s08_frame_sample", "s09_ann_sq8_rerank", "t07_fingerprint")
+    "s08_frame_sample", "s09_ann_sq8_rerank", "s10_dedup_keeper",
+    "t07_fingerprint")
+
+  /** The s-family and t07 pins encode OUTPUTS OF THE sf0.01 TABLES — against any
+    * other sfDir they are not wrong code but a mismatched snapshot, and
+    * shipping them would hard-fail the driver's compare with a spurious
+    * red (round-3 ADVICE #1). [[forSfDir]] drops them (the driver then
+    * records a rows-only check) when Verify's sfDir is not the capture
+    * sf. The kg* pins read the in-memory fixture corpus, never sfDir —
+    * valid everywhere.
+    */
+  val dataDependentSf = "sf0.01"
+
+  private val dataDependent: Set[String] =
+    names.filter(n => n.startsWith("s") || n.startsWith("t")).toSet
+
+  def forSfDir(sfDir: String): Map[String, String] = {
+    val dirName = new java.io.File(sfDir.stripSuffix("/")).getName
+    if (dirName == dataDependentSf) all
+    else {
+      val dropped = all.keySet.intersect(dataDependent)
+      if (dropped.nonEmpty) System.err.println(
+        s"[pins] sfDir '$dirName' != pin capture sf '$dataDependentSf': " +
+          s"${dropped.size} data-dependent pins NOT APPLICABLE (rows-only " +
+          s"this run): ${dropped.toSeq.sorted.mkString(", ")}")
+      all -- dropped
+    }
+  }
 
   /** Missing pin resources are skipped LOUDLY rather than crashing the
     * whole oracle dump: during pin (re)generation the bootstrap Verify

@@ -164,7 +164,7 @@ class QueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("px_sum") == expectedSum)
   }
 
-  test("s08 decodes real PNG frames and resizes through the AWT pipeline") {
+  test("s08 decodes real PNG frames; pooled thumbnails match an independent recompute") {
     import graft.queries.SimilarityQueries
     val id = 42L
     val frames = SimilarityQueries.clipFrames(SimilarityQueries.synthesizeClip(id))
@@ -178,15 +178,85 @@ class QueriesSpec extends SparkSpec {
     val sampledIdx = frames.indices by 4
     assert(entries.length == sampledIdx.size)
     assert(row.getAs[Int]("n_sampled") == sampledIdx.size)
-    // every sampled entry's WxH must equal the INDEPENDENTLY decoded
-    // dims of that container frame — the output can only come from a
-    // real decode of the frame bytes
+    // every sampled entry's WxH AND pooled pixel sum must equal values
+    // INDEPENDENTLY recomputed here from an independent ImageIO decode
+    // of that container frame — the output can only come from a real
+    // decode, and the 16x16 box-pool spec (integer floors, empty boxes
+    // widened to one sample, integer-division average) is re-derived
+    // from scratch rather than calling the production avgPool16Sum
     entries.zip(sampledIdx).foreach { case (e, fi) =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(fi)))
-      assert(e.startsWith(s"$fi:${img.getWidth}x${img.getHeight}->16x16:"), e)
-      val pxSum = e.split(":").last.toLong
-      assert(pxSum > 0 && pxSum <= 16L * 16 * 255)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      val expected = (for { oy <- 0 until 16; ox <- 0 until 16 } yield {
+        val (y0, x0) = (oy * h / 16, ox * w / 16)
+        val y1 = math.max(y0 + 1, (oy + 1) * h / 16)
+        val x1 = math.max(x0 + 1, (ox + 1) * w / 16)
+        val samples = for { y <- y0 until y1; x <- x0 until x1 } yield r.getSample(x, y, 0).toLong
+        samples.sum / samples.size
+      }).sum
+      assert(e == s"$fi:${w}x$h->16x16:$expected", e)
     }
+  }
+
+  test("AWT Graphics2D resize pipeline stays functional (spec-level, not pinned)") {
+    // The pinned s08 output deliberately excludes Graphics2D bilinear
+    // values (implementation-defined per JDK — round-3 ADVICE #4); this
+    // keeps the real AWT resize path exercised: decode -> drawImage to
+    // 16x16 must yield a plausible, run-to-run deterministic raster.
+    import graft.queries.SimilarityQueries
+    val frame = SimilarityQueries.clipFrames(SimilarityQueries.synthesizeClip(7L)).head
+    def resizeSum(): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+      val thumb = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = thumb.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 16, 16, null)
+      g.dispose()
+      (for { y <- 0 until 16; x <- 0 until 16 }
+        yield thumb.getRaster.getSample(x, y, 0).toLong).sum
+    }
+    val (a, b) = (resizeSum(), resizeSum())
+    assert(a == b, "AWT resize nondeterministic across identical calls")
+    assert(a > 0 && a <= 16L * 16 * 255)
+    // both are area-averaging resamplers of the same source: the pooled
+    // spec value and the AWT value must agree to first order (20% — a
+    // cross-check that neither path degenerated, not a bit pin)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+    val pooled = SimilarityQueries.avgPool16Sum(img)
+    assert(math.abs(a - pooled).toDouble / pooled < 0.2, s"awt=$a pooled=$pooled")
+  }
+
+  test("s10 dedup keeper matches an independent pairs->union-find->min recompute") {
+    // independent ground truth: collect s01's verified pairs, run a
+    // from-scratch union-find here, keeper = component min; every
+    // corpus doc must appear exactly once, singletons keeping themselves
+    val pairs = SparkEntry.queries("s01_minhash_neardup")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (x, y) =>
+      parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+    }
+    val expectedKeeper = parent.keys.map(v => v -> find(v)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = SparkEntry.queries("s10_dedup_keeper")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSeq == docs.toSeq, "one row per corpus doc, ordered")
+    got.foreach { case (d, k, dropped) =>
+      assert(k == expectedKeeper.getOrElse(d, d), s"doc $d keeper $k")
+      assert(dropped == (d != k), s"doc $d is_dropped flag")
+    }
+    assert(pairs.nonEmpty && got.exists(_._3), "corpus has near-dups to drop")
   }
 
   test("s09 SQ8 ANN: exact rerank cosines, high recall vs s03 brute force") {

@@ -95,6 +95,28 @@ class CheckpointSpec extends SparkSpec {
     assert(out2.count() == 0)
   }
 
+  test("marker records the committed row count for O(1) stage validation") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpt-rows").toString
+    val ckpt = Checkpoint(root, runId = "run-r")
+    ckpt.stage(spark, "s", "snap-1") { Seq(1, 2, 3).toDF("v") }
+    // the rows line lets ANN index readers validate a shared-root stage
+    // without the O(N) data scan the round-3 s04 read-back paid per query
+    assert(ckpt.committedRowCount(spark, "s").contains(3L))
+    assert(ckpt.isComplete(spark, "s", "snap-1"))
+    // legacy marker (pre-rows format): still complete, but row count is
+    // None — validating readers treat that as unvalidatable and rebuild.
+    // (Rewritten via java.nio, so Hadoop's LocalFileSystem checksum
+    // sidecar goes stale — drop it or the re-read fails ChecksumException.)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/s/_SUCCESS_SNAPSHOT"),
+      s"snap-1@${Checkpoint.PipelineVersion}")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/s/._SUCCESS_SNAPSHOT.crc"))
+    assert(ckpt.committedRowCount(spark, "s").isEmpty)
+    assert(ckpt.isComplete(spark, "s", "snap-1"))
+  }
+
   test("salted join rejects build-duplicating outer join types") {
     import spark.implicits._
     val big = Seq(("a", 1)).toDF("k", "v")
