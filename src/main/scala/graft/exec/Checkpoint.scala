@@ -54,19 +54,24 @@ final case class Checkpoint(root: String, runId: String,
   }
 
   // First marker line only: rows=N (when present) trails on line 2.
+  // nextOption: a torn writeSmall can leave a 0-byte marker — that must
+  // read as "no completed snapshot" (stage rebuilds and rewrites the
+  // marker), not crash every later stage() call on this stage.
   def completedSnapshot(spark: SparkSession, stage: String): Option[String] =
-    readSmall(spark, marker(stage)).map(_.linesIterator.next().trim)
+    readSmall(spark, marker(stage)).flatMap(_.linesIterator.nextOption()).map(_.trim)
 
   /** Row count recorded in the stage marker at commit time — lets a
     * reader validate a shared-root stage table against its committed
     * size WITHOUT scanning the data (the s04 read-back `count()` this
     * replaces was an O(N) job taxing every probe query). None for
-    * markers written before the rows line existed (treat as
-    * unvalidatable and rebuild).
+    * markers written before the rows line existed AND for malformed /
+    * torn rows lines (both mean "unvalidatable" — the reader
+    * invalidates and rebuilds once, which rewrites a clean marker).
     */
   def committedRowCount(spark: SparkSession, stage: String): Option[Long] =
     readSmall(spark, marker(stage)).flatMap(_.linesIterator
-      .find(_.startsWith("rows=")).map(_.stripPrefix("rows=").trim.toLong))
+      .find(_.startsWith("rows=")))
+      .flatMap(l => scala.util.Try(l.stripPrefix("rows=").trim.toLong).toOption)
 
   // The marker records snapshot AND pipeline version: a checkpoint root
   // written by an older code revision must NOT resume as complete (it

@@ -15,9 +15,10 @@ import graft.fixtures.FixtureCorpus
   * (outputs are value-identical at any cpu count / partitioning): the
   * kg* family reads the in-memory fixture corpus, the s* and t07 family
   * reads the driver's fixed sf parquet with seeded hashes/planes and
-  * vec_id tie-breaks. kg01_triples stays rows-only (its full 2185-row
-  * output embeds ~100 copies of every abstract); its exact output is
-  * hash-gated instead by the kg13_triples_digest companion pin.
+  * vec_id tie-breaks. kg01_triples is pinned in full since round 4
+  * (2185 rows, ~380 kB of VALUES — well within the driver compare's
+  * reach); its kg13_triples_digest companion stays as a second,
+  * independent hash gate over the same stream.
   *
   * Regenerate after any INTENDED output change:
   *   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_r3"

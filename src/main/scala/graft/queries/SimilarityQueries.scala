@@ -245,6 +245,14 @@ object SimilarityQueries {
     * that O(N) job taxes each probe with the very cost the persisted
     * index amortizes away. Markers predating the rows line validate as
     * None and rebuild once (self-healing the format upgrade).
+    *
+    * Scope (deliberate): this validates the COMMIT — marker and data
+    * written by the same completed stage() — not the data files'
+    * continued integrity. A writer that starts overwriting the data dir
+    * after commit and dies mid-write fails the reader LOUDLY (missing
+    * part files -> read error), not silently; catching it pre-read
+    * would require re-counting the table per query, the exact O(N) tax
+    * this design removes.
     */
   private def validatedStage(s: SparkSession, ck: graft.exec.Checkpoint,
       stageName: String, snap: String, expectedRows: Long,
@@ -529,10 +537,12 @@ object SimilarityQueries {
   }
 
   /** IVF-Flat ANN (the other scale path besides hyperplane LSH): a tiny
-    * k-means coarse quantizer (16 centroids, seeded from the first 16
-    * vectors, refined by 2 fixed-point Lloyd iterations) partitions the
-    * corpus into inverted lists; probes scan only their nprobe=2
-    * nearest lists.
+    * k-means coarse quantizer (default 16 centroids, seeded from the
+    * first 16 vectors, refined by 2 fixed-point Lloyd iterations)
+    * partitions the corpus into inverted lists; probes scan only their
+    * nprobe=2 nearest lists. k/nprobe scale via SPARK_GRAFT_IVF_K /
+    * SPARK_GRAFT_IVF_NPROBE for the 10 M AnnScaleProbe run (k should
+    * track ~sqrt N); defaults are the pinned configuration.
     *
     * Like s04, the index is PERSISTED once per embeddings snapshot via
     * Checkpoint: a 16-row centroid table plus the corpus
@@ -548,27 +558,39 @@ object SimilarityQueries {
   private val annIvf: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
-    val nProbe = 2
+    // k and nprobe are env-tunable for the scale probe ONLY (at 10 M
+    // vectors the right quantizer is k~sqrt(N)-ish, not 16); the
+    // defaults are the production/pinned configuration and the stage
+    // names + snapshot ids carry k, so probe runs at other sizes never
+    // collide with (or invalidate) the pinned-index stages
+    val k = sys.env.getOrElse("SPARK_GRAFT_IVF_K", "16").toInt
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "2").toInt
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
     val (n, snapBase) = embSnapshot(dir)
-    val snap = s"$snapBase-k16i2"
+    val snap = s"$snapBase-k${k}i2"
     val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
     // both IVF stages run through the same marker row-count validation
     // as s04's buckets (round-3 ADVICE: a torn overwrite on the shared
     // unlocked root previously served a short centroid/list table with
     // no detection)
-    val centDf = validatedStage(s, ck, s"ivf16_cent_${dirTag(dir)}", snap,
-        expectedRows = math.min(n, 16L)) {
+    // the centroid count equals the SEED count — #(vec_id < k), not
+    // min(n, k), because nothing guarantees dense ids from 0 (a
+    // filtered/offset corpus would otherwise fail validation forever
+    // after a futile rebuild); the seed-count job is pushdown-pruned to
+    // a few row groups
+    val seedN = e.filter(_._1 < k).count()
+    require(seedN > 0,
+      s"s07 IVF: no quantizer seed vectors (expected rows with vec_id < $k)")
+    val centDf = validatedStage(s, ck, s"ivf${k}_cent_${dirTag(dir)}", snap,
+        expectedRows = seedN) {
       val seed: Array[Array[Double]] =
-        e.filter(_._1 < 16).collect().sortBy(_._1).map(_._2.map(_.toDouble).toArray)
-      require(seed.nonEmpty,
-        "s07 IVF: no quantizer seed vectors (expected rows with vec_id < 16)")
+        e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.map(_.toDouble).toArray)
       lloyd(e, seed, iters = 2).zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid")
     }
     val centroids: Array[Array[Double]] = centDf.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
-    val assigned = validatedStage(s, ck, s"ivf16_assign_${dirTag(dir)}", snap,
+    val assigned = validatedStage(s, ck, s"ivf${k}_assign_${dirTag(dir)}", snap,
         expectedRows = n, partitionByCols = Seq("cid")) {
       e.map { case (id, v) => (id, v, nearestCids(v, centroids, 1).head) }
         .toDF("vec_id", "embedding", "cid")
@@ -771,18 +793,25 @@ object SimilarityQueries {
     * cluster labels back to the corpus is an equi join on doc_id, and
     * CC itself switches to the label-propagation + pointer-jumping path
     * above the union-find cutoff (kg15 proves that twin under the
-    * contract). doc_ids ride through CC zero-padded (d%012d) so the
-    * component min-STRING is the min doc_id numerically.
+    * contract). CC's canonicalId (the component min-STRING) is used
+    * only as a cluster LABEL; the keeper is an explicit numeric
+    * min(doc_id) per component — correct for the full signed Long
+    * range (a zero-padded string encoding would silently truncate ids
+    * past its width and mis-order hash-derived negative ids), at the
+    * cost of one extra shuffle of the metadata-sized cluster map.
     */
   private val dedupKeeper: Q = (s, dir) => {
     implicit val sp = s
     val pairs = minhashDedup(s, dir)
-    val edges = pairs.select(format_string("d%012d", col("a")).as("src"),
-      format_string("d%012d", col("b")).as("dst"))
+    val edges = pairs.select(concat(lit("d"), col("a")).as("src"),
+      concat(lit("d"), col("b")).as("dst"))
     val cc = graft.stages.Canonicalize.connectedComponents(edges)
-    val clustered = cc.select(
-      substring(col("id"), 2, 12).cast("long").as("doc_id"),
-      substring(col("canonicalId"), 2, 12).cast("long").as("keeper_doc_id"))
+    val labeled = cc.select(
+      substring(col("id"), 2, 25).cast("long").as("doc_id"), col("canonicalId"))
+    val keepers = labeled.groupBy("canonicalId")
+      .agg(min("doc_id").as("keeper_doc_id"))
+    val clustered = labeled.join(keepers, Seq("canonicalId"))
+      .select("doc_id", "keeper_doc_id")
     docs(dir).select(col("doc_id"))
       .join(clustered, Seq("doc_id"), "left")
       .withColumn("keeper_doc_id", coalesce(col("keeper_doc_id"), col("doc_id")))
