@@ -67,7 +67,14 @@ object AnnScaleProbe {
     }
 
     val brute = run("s03_ann_cosine_topk")
-    for (name <- Seq("s04_ann_lsh_topk", "s07_ann_ivf_topk", "s09_ann_sq8_rerank")) {
+    // SPARK_GRAFT_ANN_QUERIES narrows the approximate-path list (e.g.
+    // "s07_ann_ivf_topk" for the 10M k=128 run, where rebuilding the
+    // LSH and SQ8 indexes too would add tens of minutes for no new
+    // information); default remains all three
+    val approxNames = sys.env.get("SPARK_GRAFT_ANN_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("s04_ann_lsh_topk", "s07_ann_ivf_topk", "s09_ann_sq8_rerank"))
+    for (name <- approxNames) {
       val approx = run(name)
       val common = approx.keySet.intersect(brute.keySet)
       // report drift instead of crashing: a cosine mismatch would discard

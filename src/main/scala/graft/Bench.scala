@@ -76,11 +76,18 @@ object Bench {
     val repFailures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Scaling cycles set SPARK_GRAFT_SKIP_QUERIES=1 to run ONLY the KG
+    // sections: the headline loop adds 60-90 s of fixed per-run cost
+    // that is pure measurement noise for the c8/c32 efficiency
+    // protocol. The driver never sets it, so driver runs always emit
+    // the full record.
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val benched = if (skipQueries) Seq.empty else headline
     // a headline name missing from the registry surfaces IN-BAND as the
     // -1.0 failure sentinel (same as an all-reps-failed query): the
     // driver discards stderr, so a warning alone would let a dropped
     // query read as a green, smaller total
-    val missing = headline.filterNot(qmap.contains)
+    val missing = benched.filterNot(qmap.contains)
     if (missing.nonEmpty) {
       System.err.println(s"[bench] headline queries MISSING from registry: $missing")
       missing.foreach(repFailures(_) = 3)
@@ -89,7 +96,7 @@ object Bench {
     // best-of-3 is the headline, but a real regression must not be able
     // to hide behind one lucky rep (round-2 VERDICT "What's wrong" #3 —
     // q08's 4x move was unexplainable without per-rep evidence).
-    val rawSamples: Seq[(String, Seq[Double])] = headline.map { name =>
+    val rawSamples: Seq[(String, Seq[Double])] = benched.map { name =>
       if (!qmap.contains(name)) name -> Seq.empty
       else name -> (1 to 3).map { _ =>
         try time(materialize(qmap(name)(spark, sfDir)))._2
