@@ -800,9 +800,12 @@ object SimilarityQueries {
     * past its width and mis-order hash-derived negative ids), at the
     * cost of one extra shuffle of the metadata-sized cluster map.
     */
-  private val dedupKeeper: Q = (s, dir) => {
-    implicit val sp = s
-    val pairs = minhashDedup(s, dir)
+  /** The reusable core of s10: near-dup pairs (a, b) + the corpus
+    * doc_id column -> (doc_id, keeper_doc_id, is_dropped) for every
+    * doc. Public so the spec can drive it with extreme ids (negative,
+    * > 10^12) that the sf corpora never contain.
+    */
+  def keeperAssignments(pairs: DataFrame, docIds: DataFrame): DataFrame = {
     val edges = pairs.select(concat(lit("d"), col("a")).as("src"),
       concat(lit("d"), col("b")).as("dst"))
     val cc = graft.stages.Canonicalize.connectedComponents(edges)
@@ -812,11 +815,16 @@ object SimilarityQueries {
       .agg(min("doc_id").as("keeper_doc_id"))
     val clustered = labeled.join(keepers, Seq("canonicalId"))
       .select("doc_id", "keeper_doc_id")
-    docs(dir).select(col("doc_id"))
+    docIds.select(col("doc_id"))
       .join(clustered, Seq("doc_id"), "left")
       .withColumn("keeper_doc_id", coalesce(col("keeper_doc_id"), col("doc_id")))
       .withColumn("is_dropped", col("doc_id") =!= col("keeper_doc_id"))
       .orderBy("doc_id")
+  }
+
+  private val dedupKeeper: Q = (s, dir) => {
+    implicit val sp = s
+    keeperAssignments(minhashDedup(s, dir), docs(dir))
   }
 
   val all: Map[String, Q] = Map(

@@ -259,6 +259,27 @@ class QueriesSpec extends SparkSpec {
     assert(pairs.nonEmpty && got.exists(_._3), "corpus has near-dups to drop")
   }
 
+  test("s10 keeper core is correct for negative and >10^12 doc_ids") {
+    // hash-derived 64-bit doc ids (the 100 TB shape) are negative half
+    // the time and exceed any fixed zero-pad width — the keeper must be
+    // the NUMERIC component min regardless (a padded-string min is not)
+    import spark.implicits._
+    val a = -9223372036854775000L // near Long.MinValue
+    val b = -42L
+    val c = 5000000000000L       // 13 digits
+    val d = 5000000000001L
+    val lone = 7L
+    val pairs = Seq((a, b), (c, d)).toDF("a", "b")
+    val docIds = Seq(a, b, c, d, lone).toDF("doc_id")
+    val got = graft.queries.SimilarityQueries.keeperAssignments(pairs, docIds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(a) == (a, false), "negative cluster keeps its numeric min")
+    assert(got(b) == (a, true))
+    assert(got(c) == (c, false), "13-digit ids survive the round-trip")
+    assert(got(d) == (c, true))
+    assert(got(lone) == (lone, false), "singleton keeps itself")
+  }
+
   test("s09 SQ8 ANN: exact rerank cosines, high recall vs s03 brute force") {
     val brute = SparkEntry.queries("s03_ann_cosine_topk")(spark, sf)
       .select("probe_id", "vec_id", "cosine").collect()
