@@ -444,28 +444,42 @@ object SimilarityQueries {
     * 8x through the flatMap); embeddings join back by vec_id on the
     * deduped candidate pairs for the verify step. Candidate volume is
     * bounded by tables x multiprobe x occupancy per row, never
-    * all-pairs.
+    * all-pairs. Since round 4 the exact-bucket table is a persisted,
+    * marker-validated Checkpoint stage (once per embeddings snapshot,
+    * like the s04/s07/s09 indexes) and the multiprobe side derives from
+    * it in-plan via column bit math, so a re-run over an unchanged
+    * corpus never re-projects the embeddings at all.
     */
   private val embNeardup: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val tables = 8
-    val n = embs(dir).count()
+    val (n, snapBase) = embSnapshot(dir)
     val bits = lshBits(n)
     val planes = lshPlanes(1100, tables, bits, dim = 64)
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    val exact = e.flatMap { case (id, v) =>
-      (0 until tables).map(t => (id, t, lshBucket(v, planes(t))))
-    }.toDF("vec_id", "tbl", "bucket")
-    // multiprobe side: own bucket + every 1-bit flip; with l.vec_id <
-    // r.vec_id, (a flipped) meeting (b exact) covers every unordered pair
-    // at Hamming distance <= 1 per table
-    val probed = e.flatMap { case (id, v) =>
-      (0 until tables).flatMap { t =>
-        val k = lshBucket(v, planes(t))
-        (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, t, kk))
-      }
-    }.toDF("vec_id", "tbl", "bucket")
+    // round 4: the blocking table PERSISTS like s04/s07/s09's indexes —
+    // corpus-wide dedup is naturally once-per-snapshot, but the bench
+    // (and any re-run over an unchanged corpus) was paying the full
+    // 8-projection pass over every embedding per execution, twice (the
+    // multiprobe side repeated it with flips). One committed table now
+    // carries the exact buckets, marker-validated like the others...
+    val exact = validatedStage(s, ck = graft.exec.Checkpoint(annIndexRoot, "ann-index"),
+        stageName = s"nd8_${dirTag(dir)}", snap = s"$snapBase-nd-b$bits",
+        expectedRows = n * tables) {
+      e.flatMap { case (id, v) =>
+        (0 until tables).map(t => (id, t, lshBucket(v, planes(t))))
+      }.toDF("vec_id", "tbl", "bucket")
+    }
+    // ...and the multiprobe side (own bucket + every 1-bit flip; with
+    // l.vec_id < r.vec_id, (a flipped) meeting (b exact) covers every
+    // unordered pair at Hamming distance <= 1 per table) is DERIVED
+    // IN-PLAN from that table by pure column bit math — no second pass
+    // over the embeddings, fully inside WholeStageCodegen
+    val flipCols = col("bucket") +:
+      (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1 << b)))
+    val probed = exact.select(col("vec_id"), col("tbl"),
+      explode(array(flipCols: _*)).as("bucket"))
     val pairs = probed.as("l").join(exact.as("r"),
         $"l.tbl" === $"r.tbl" && $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
       .select($"l.vec_id".as("a"), $"r.vec_id".as("b"))
