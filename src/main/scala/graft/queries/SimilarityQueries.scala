@@ -203,10 +203,11 @@ object SimilarityQueries {
     }
     // probes: own bucket + every 1-bit flip (multiprobe) per table;
     // 10 probes x 8 tables x (bits+1) keys -> trivially broadcastable
+    val masks = multiprobeMasks(bits)
     val probes = e.filter(_._1 < 10).flatMap { case (id, v) =>
       (0 until tables).flatMap { t =>
         val k = lshBucket(v, planes(t))
-        (k +: (0 until bits).map(b => k ^ (1 << b))).map(kk => (id, t, kk))
+        masks.map(m => (id, t, k ^ m))
       }
     }.toDF("probe_id", "tbl", "bucket")
     val cands = idx.join(broadcast(probes), Seq("tbl", "bucket"))
@@ -288,13 +289,24 @@ object SimilarityQueries {
     * persisted index exists to amortize.
     */
   private def embSnapshot(dir: String)(implicit s: SparkSession): (Long, String) = {
-    val fpRow = embs(dir).agg(
-      count(lit(1)).as("n"), sum(hash(col("vec_id"))).as("idsum")).head()
-    val n = fpRow.getLong(0)
-    val contentFp = embs(dir).filter(col("vec_id") < 256)
-      .agg(coalesce(sum(hash(col("embedding"))), lit(0L))).head().getLong(0)
-    (n, s"$n-${fpRow.getLong(1)}-c$contentFp-f${fileStatusFp(dir)}")
+    // memoized on (dir, file-status fp): four ANN-family queries in one
+    // Verify/Bench pass would otherwise each re-run the two fingerprint
+    // aggregation jobs over an unchanged table. The metadata-only
+    // listing ALWAYS runs and gates reuse — any rewrite of the table
+    // changes the file fp and forces fresh aggregation jobs.
+    val fileFp = fileStatusFp(dir)
+    snapshotCache.getOrElseUpdate((dir, fileFp), {
+      val fpRow = embs(dir).agg(
+        count(lit(1)).as("n"), sum(hash(col("vec_id"))).as("idsum")).head()
+      val n = fpRow.getLong(0)
+      val contentFp = embs(dir).filter(col("vec_id") < 256)
+        .agg(coalesce(sum(hash(col("embedding"))), lit(0L))).head().getLong(0)
+      (n, s"$n-${fpRow.getLong(1)}-c$contentFp-f$fileFp")
+    })
   }
+
+  private val snapshotCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, String)]
 
   /** Metadata-only table fingerprint: fold (name, len, modtime) of every
     * data file under the embeddings path (file or directory) — resolved
@@ -313,8 +325,24 @@ object SimilarityQueries {
     }
   }
 
+  /** Human-readable tag + a hash of the RAW dir string: the readable
+    * part alone is lossy (runs of non-alphanumerics collapse to "_",
+    * so /data/sf0.1 and /data/sf0_1 would share a stage name on the
+    * shared index root and permanently thrash each other's snapshots —
+    * correct but rebuild-per-run); the hex suffix makes the stage
+    * identity collision-free.
+    */
   private def dirTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_") +
+      "_" + (dir.hashCode & 0x7fffffff).toHexString
+
+  /** The 1-bit multiprobe mask set (identity + each single-bit flip) —
+    * the ONE definition both the driver-side probe expansion (s04) and
+    * the in-plan column expansion (s06) apply, so the probe radius
+    * cannot silently drift between them.
+    */
+  private def multiprobeMasks(bits: Int): Seq[Int] =
+    0 +: (0 until bits).map(1 << _)
 
   /** Deterministic grayscale PNG: pixel (x,y) = (x*7 + y*13 + seed)
     * mod 256 — a REAL PNG byte stream (javax.imageio ships in the JDK,
@@ -475,9 +503,10 @@ object SimilarityQueries {
     // l.vec_id < r.vec_id, (a flipped) meeting (b exact) covers every
     // unordered pair at Hamming distance <= 1 per table) is DERIVED
     // IN-PLAN from that table by pure column bit math — no second pass
-    // over the embeddings, fully inside WholeStageCodegen
-    val flipCols = col("bucket") +:
-      (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1 << b)))
+    // over the embeddings, fully inside WholeStageCodegen; the mask set
+    // is the shared multiprobeMasks definition s04 expands driver-side
+    val flipCols = multiprobeMasks(bits)
+      .map(m => col("bucket").bitwiseXOR(lit(m)))
     val probed = exact.select(col("vec_id"), col("tbl"),
       explode(array(flipCols: _*)).as("bucket"))
     val pairs = probed.as("l").join(exact.as("r"),
