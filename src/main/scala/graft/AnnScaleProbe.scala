@@ -32,6 +32,17 @@ object AnnScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // fail fast on a typo'd SPARK_GRAFT_ANN_QUERIES name: resolving it
+    // lazily after the corpus write + brute-force reference run would
+    // discard all that completed work on a NoSuchElementException
+    val approxNames = sys.env.get("SPARK_GRAFT_ANN_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("s04_ann_lsh_topk", "s07_ann_ivf_topk", "s09_ann_sq8_rerank"))
+    val unknown = ("s03_ann_cosine_topk" +: approxNames).filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown SPARK_GRAFT_ANN_QUERIES names: ${unknown.mkString(",")} — valid: " +
+        SparkEntry.queries.keys.filter(_.startsWith("s0")).toSeq.sorted.mkString(","))
+
     val dim = 64
     def vecOf(id: Long): Array[Float] = {
       val rnd = new scala.util.Random(id)
@@ -67,13 +78,10 @@ object AnnScaleProbe {
     }
 
     val brute = run("s03_ann_cosine_topk")
-    // SPARK_GRAFT_ANN_QUERIES narrows the approximate-path list (e.g.
-    // "s07_ann_ivf_topk" for the 10M k=128 run, where rebuilding the
-    // LSH and SQ8 indexes too would add tens of minutes for no new
-    // information); default remains all three
-    val approxNames = sys.env.get("SPARK_GRAFT_ANN_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq("s04_ann_lsh_topk", "s07_ann_ivf_topk", "s09_ann_sq8_rerank"))
+    // SPARK_GRAFT_ANN_QUERIES (validated up front, before the corpus
+    // write) narrows the approximate-path list — e.g. "s07_ann_ivf_topk"
+    // for the 10M k=128 run, where rebuilding the LSH and SQ8 indexes
+    // too would add tens of minutes for no new information
     for (name <- approxNames) {
       val approx = run(name)
       val common = approx.keySet.intersect(brute.keySet)

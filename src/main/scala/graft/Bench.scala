@@ -156,8 +156,11 @@ object Bench {
     //    "parsed": null with the recorded tail starting mid-JSON);
     //  - full (with samples) goes to BENCH_OUT.json for the per-rep
     //    evidence trail (round-2 q08 noise diagnosis depends on it).
+    // skip_queries is recorded IN the record: a KG-only total (scaling
+    // cycles) must be self-describing — a leaked env var in a driver run
+    // would otherwise read as a dramatic, unexplained speedup
     val common =
-      s""""unit":"sec","queries":$qs,"rep_failures":$fails,"sf":${str(sfDir)},"cpus":${cpus.trim.toInt},"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${num(tps, 1)}"""
+      s""""unit":"sec","queries":$qs,"rep_failures":$fails,"sf":${str(sfDir)},"cpus":${cpus.trim.toInt},"skip_queries":$skipQueries,"kg_pages":$kgN,"kg_triples":$nTriples,"kg_triples_per_sec":${num(tps, 1)}"""
     val compactJson = s"""{"metric":"total","value":${num(total, 3)},$common}"""
     val fullJson =
       s"""{"metric":"total","value":${num(total, 3)},$common,"samples":$sampleJson}"""

@@ -69,9 +69,34 @@ final case class Checkpoint(root: String, runId: String,
     * invalidates and rebuilds once, which rewrites a clean marker).
     */
   def committedRowCount(spark: SparkSession, stage: String): Option[Long] =
-    readSmall(spark, marker(stage)).flatMap(_.linesIterator
-      .find(_.startsWith("rows=")))
-      .flatMap(l => scala.util.Try(l.stripPrefix("rows=").trim.toLong).toOption)
+    committedMarker(spark, stage).flatMap(_._2)
+
+  /** ONE atomic parse of the stage marker: (snapshot line, rows). The
+    * rows count is only meaningful paired with the snapshot it was
+    * committed under — on a shared unlocked root, reading them through
+    * two separate calls lets a concurrent writer swap the marker
+    * in between, so a rows check could pass against a DIFFERENT
+    * snapshot's data. Validating readers go through
+    * [[committedRowsFor]], which checks both from this single read.
+    */
+  def committedMarker(spark: SparkSession, stage: String): Option[(String, Option[Long])] =
+    readSmall(spark, marker(stage)).map { content =>
+      val lines = content.linesIterator.toSeq
+      (lines.headOption.map(_.trim).getOrElse(""),
+        lines.find(_.startsWith("rows="))
+          .flatMap(l => scala.util.Try(l.stripPrefix("rows=").trim.toLong).toOption))
+    }
+
+  /** Rows recorded for `stage` IFF the marker's snapshot line matches
+    * `snapshotId` under the current pipeline version — None when the
+    * marker is absent, torn, for another snapshot, or predates the
+    * rows line. Single marker read (see [[committedMarker]]).
+    */
+  def committedRowsFor(spark: SparkSession, stage: String, snapshotId: String): Option[Long] =
+    committedMarker(spark, stage) match {
+      case Some((snapLine, rows)) if snapLine == markerContent(snapshotId) => rows
+      case _ => None
+    }
 
   // The marker records snapshot AND pipeline version: a checkpoint root
   // written by an older code revision must NOT resume as complete (it

@@ -48,9 +48,68 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("s01 minhash LSH self-join is an equi join on band keys, not a cartesian") {
-    val plan = SparkEntry.queries("s01_minhash_neardup")(spark, sf)
+    // assert on the BUILD-side plan: the registered query reads the
+    // persisted pair table back, which would hide the join shape
+    val plan = graft.queries.SimilarityQueries.computeNeardupPairs(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("s01 persisted pair table invalidates when the documents table changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s01_inval").toString
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    def writeDocs(text1: String): Unit =
+      Seq((0L, filler), (1L, text1)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(): Seq[(Long, Long)] =
+      SparkEntry.queries("s01_minhash_neardup")(spark, dir)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // identical texts -> Jaccard 1.0 -> the pair commits to the stage
+    writeDocs(filler)
+    assert(pairs() == Seq((0L, 1L)))
+    // REWRITE doc 1 with unrelated text: the docs snapshot (content
+    // hash + recursive file listing) must move, invalidating the
+    // persisted pairs — a stale read-back would still report (0,1)
+    writeDocs((1 to 40).map(i => s"x$i").mkString(" "))
+    assert(pairs().isEmpty, "stale persisted pair table served after documents changed")
+    // and an unchanged table reuses the committed stage (same result)
+    assert(pairs().isEmpty)
+  }
+
+  test("ANN probe/seed predicates push to the scan — no TypedFilter anywhere") {
+    // round-4 VERDICT #1: `.as[...].filter(_._1 < k)` is an opaque
+    // TypedFilter — Catalyst can't push it into the parquet scan nor
+    // prune the embedding column, so every probe paid a full O(N·dim)
+    // deserializing pass of the corpus on paths advertised probe-only
+    for (name <- Seq("s03_ann_cosine_topk", "s04_ann_lsh_topk",
+        "s07_ann_ivf_topk", "s09_ann_sq8_rerank")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val typed = df.queryExecution.analyzed.collect {
+        case t: org.apache.spark.sql.catalyst.plans.logical.TypedFilter => t
+      }
+      assert(typed.isEmpty, s"$name plans ${typed.size} TypedFilter(s)")
+    }
+    // in-plan probe sides (s04, s09) must show the pushed vec_id bound
+    for (name <- Seq("s04_ann_lsh_topk", "s09_ann_sq8_rerank")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]*LessThan\\(vec_id,10\\)".r
+        .findFirstIn(plan).isDefined, s"$name: $plan")
+    }
+    // s07 resolves its probes driver-side pre-plan: a warm-index query
+    // plan must contain NO embeddings scan at all — only the persisted
+    // centroid/list tables and the broadcast local probe relation
+    val ivfPlan = SparkEntry.queries("s07_ann_ivf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("embeddings.parquet"), ivfPlan)
+  }
+
+  test("s07 warm-index seed count comes from the marker, not a count job") {
+    // first run commits the centroid stage (if not already committed)
+    SparkEntry.queries("s07_ann_ivf_topk")(spark, sf).count()
+    assert(graft.queries.SimilarityQueries.ivfSeedCountFromMarker(spark, sf),
+      "warm-index s07 still runs the seed count job (round-4 VERDICT #2)")
   }
 
   test("t04 lang-id confusion matrix is well-formed") {

@@ -104,6 +104,13 @@ class CheckpointSpec extends SparkSpec {
     // without the O(N) data scan the round-3 s04 read-back paid per query
     assert(ckpt.committedRowCount(spark, "s").contains(3L))
     assert(ckpt.isComplete(spark, "s", "snap-1"))
+    // snapshot-checked variant: rows only surface when the marker's
+    // snapshot line matches the snapshot being validated — one atomic
+    // marker read, so a concurrent writer committing the same stage for
+    // a DIFFERENT snapshot can't make the rows check pass (round-4
+    // ADVICE #3)
+    assert(ckpt.committedRowsFor(spark, "s", "snap-1").contains(3L))
+    assert(ckpt.committedRowsFor(spark, "s", "snap-2").isEmpty)
     // legacy marker (pre-rows format): still complete, but row count is
     // None — validating readers treat that as unvalidatable and rebuild.
     // (Rewritten via java.nio, so Hadoop's LocalFileSystem checksum
