@@ -18,21 +18,61 @@ object SparkEntry {
 
   /** Flagship: full KG-construction pipeline (slice -> extract -> triple
     * emit -> entity link -> canonicalize) on a small replicated fixture
-    * corpus, with the entity table CONSUMED: author objects carry their
-    * canonical entity id, so the smoke check covers linking +
-    * canonicalization output, not just extraction (previously the ents
-    * half was computed and discarded). Driver smoke-checks rows > 0.
+    * corpus, with the entity table CONSUMED (author objects carry their
+    * canonical entity id) AND the dedup last mile attached (round-4
+    * VERDICT #6): the replicated corpus is exactly the near-dup shape
+    * s01/s10 handle at scale, so the page set runs through the shared
+    * MinHash-LSH pair engine -> connected components -> keeper, and the
+    * per-page verdicts roll up to the paper rows the smoke checks.
+    *
+    * Column semantics: triples are emitted per PAPER while dedup runs
+    * per PAGE (many replicated pages carry one paper), so a per-triple
+    * is_dropped flag would be ill-typed; instead each output row carries
+    * its paper's page-cluster summary — `keeper_doc_id` (the one page id
+    * the dedup keeps for this paper), `n_pages` (pages carrying it) and
+    * `n_dropped_pages` (replicas the keeper displaces). Applying the
+    * keeper IS the dedup: a production run would extract only keeper
+    * pages. Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val files = FixtureCorpus.corpus(spark, 50, 8)
+
+    // dedup last mile over the page corpus: page identity = hash of
+    // repo/path, near-dup pairs from the shared s01 MinHash-LSH engine
+    // over page content, keeper = component min (s10 semantics)
+    val pages = files.map(f => (entryPageId(f.repo, f.path), f.content)).toDF("doc_id", "text")
+    val pairs = SimilarityQueries.neardupPairsOf(pages)
+    val keep = SimilarityQueries.keeperAssignments(pairs, pages.select("doc_id"))
+
+    // bridge page ids -> extracted paper docIds with the SAME parser the
+    // extraction pass dispatches (quarantined pages contribute no row)
+    val bridge = files.mapPartitions(_.flatMap { f =>
+      graft.stages.MentionDetect.parseOne(f).toOption
+        .map(r => (entryPageId(f.repo, f.path), r.docId))
+    }).toDF("doc_id", "docId")
+    val dedup = bridge.join(keep, Seq("doc_id"))
+      .groupBy(col("docId"))
+      .agg(min(when(!col("is_dropped"), col("doc_id"))).as("keeper_doc_id"),
+        count(lit(1)).as("n_pages"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped_pages"))
+
     val (triples, ents) = Pipeline.run(spark, files)
     val authorCanon = ents.filter(col("kind") === "author")
       .select(concat(lit("author:"), col("name")).as("obj"),
         col("entityId").as("canonical_author"))
     triples.toDF().join(broadcast(authorCanon), Seq("obj"), "left")
-      .select("docId", "subj", "pred", "obj", "canonical_author")
+      .join(broadcast(dedup), Seq("docId"), "left")
+      .select("docId", "subj", "pred", "obj", "canonical_author",
+        "keeper_doc_id", "n_pages", "n_dropped_pages")
   }
+
+  /** Stable page identity for the flagship dedup stage (driver-side and
+    * executor-side uses must agree, so it's plain Scala, not a Column).
+    */
+  private def entryPageId(repo: String, path: String): Long =
+    scala.util.hashing.MurmurHash3.stringHash(s"$repo/$path").toLong
 
   /** NOTE on the `sfDir` argument: the relational (q*), text (t*) and
     * similarity (s*) queries read the driver's parquet tables under

@@ -57,8 +57,17 @@ object SimilarityQueries {
     */
   private[graft] def computeNeardupPairs(s: SparkSession, dir: String): DataFrame = {
     implicit val sp = s
+    neardupPairsOf(docs(dir).select("doc_id", "text"))
+  }
+
+  /** The s01 pair engine over ANY (doc_id: Long, text: String) frame —
+    * public so the flagship entry pipeline can dedup its page corpus
+    * with the same banded-join machinery the s01/s10 oracle checks.
+    */
+  def neardupPairsOf(docsDf: DataFrame): DataFrame = {
+    val sp = docsDf.sparkSession
     import sp.implicits._
-    val d = docs(dir).select("doc_id", "text").as[(Long, String)]
+    val d = docsDf.select("doc_id", "text").as[(Long, String)]
 
     val banded = d.flatMap { case (id, text) =>
       val sig = EntityLink.signature(wordShingles(text))

@@ -12,11 +12,24 @@ class QueriesSpec extends SparkSpec {
   test("entry (flagship pipeline) returns triples with canonical author ids") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
-    assert(df.columns.toSet == Set("docId", "subj", "pred", "obj", "canonical_author"))
+    assert(df.columns.toSet == Set("docId", "subj", "pred", "obj", "canonical_author",
+      "keeper_doc_id", "n_pages", "n_dropped_pages"))
     // the entity table is consumed: every hasAuthor triple resolves
     val authors = df.filter(col("pred") === "hasAuthor")
     assert(authors.count() > 0)
     assert(authors.filter(col("canonical_author").isNull).count() == 0)
+    // the dedup last mile is consumed: the 50-page corpus replicates 7
+    // base pages, so every paper's page cluster keeps exactly one page
+    // and drops the rest
+    val dd = df.select("docId", "keeper_doc_id", "n_pages", "n_dropped_pages")
+      .distinct().collect()
+    assert(dd.nonEmpty)
+    dd.foreach { r =>
+      assert(!r.isNullAt(1), s"paper ${r.getString(0)} has no keeper page")
+      assert(r.getLong(2) > 1, s"paper ${r.getString(0)} not replicated")
+      assert(r.getLong(3) == r.getLong(2) - 1,
+        s"paper ${r.getString(0)}: expected all replicas but one dropped")
+    }
   }
 
   test("every query runs and returns rows on sf0.001") {

@@ -16,15 +16,28 @@ parallelism-independent (all kg*/s*/t07 registered ones are — see each
 query's scaladoc). Regenerate after any intended output change:
 
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_r3"
-    python3 tools/pin_oracle.py /tmp/verify_r3 <name>...
+    python3 tools/pin_oracle.py /tmp/verify_r3 --reason "why the output changed" <name>...
+
+AUDIT TRAIL (round-4 VERDICT #7): every (re)generation MUST name its
+reason — the tool refuses to write otherwise — and appends one line per
+pin to src/main/resources/graft/pins/CHANGELOG.tsv:
+    <utc-date>\t<name>\t<sha256-of-pin-file>\t<reason>
+graft.queries.PinAuditSpec asserts each committed pin's sha256 equals
+its LATEST changelog entry, so a pin quietly re-captured (or hand-
+edited) without a logged reason fails `sbt test`. The trail is what
+lets a later round distinguish "regenerated deliberately for the
+avg-pool change" from "re-captured to hide a regression".
 """
+import datetime
 import duckdb
+import hashlib
 import math
 import os
 import sys
 
 PIN_DIR = os.path.join(os.path.dirname(__file__), "..",
                        "src/main/resources/graft/pins")
+CHANGELOG = os.path.join(PIN_DIR, "CHANGELOG.tsv")
 
 # duckdb type name -> literal renderer
 def render(v, typ):
@@ -77,10 +90,33 @@ def pin(outdir, name):
         f.write(sql + "\n")
     print(f"pinned {name}: {len(rows)} rows x {len(cols)} cols "
           f"-> {os.path.relpath(path)} ({os.path.getsize(path)} bytes)")
+    return path
+
+
+def log_pin(name, path, reason):
+    sha = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    date = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d")
+    clean = reason.replace("\t", " ").replace("\n", " ").strip()
+    with open(CHANGELOG, "a") as f:
+        f.write(f"{date}\t{name}\t{sha}\t{clean}\n")
 
 
 if __name__ == "__main__":
-    outdir, names = sys.argv[1], sys.argv[2:]
+    args = sys.argv[1:]
+    reason = None
+    if "--reason" in args:
+        i = args.index("--reason")
+        reason = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if not args or reason is None or not reason.strip():
+        raise SystemExit(
+            "usage: pin_oracle.py OUTDIR --reason 'why the output changed' NAME...\n"
+            "refusing to (re)pin without a logged reason — the changelog is\n"
+            "what lets a later round audit every pin regeneration (PinAuditSpec\n"
+            "fails the build if a pin's hash has no matching changelog entry)")
+    outdir, names = args[0], args[1:]
+    if not names:
+        raise SystemExit("no query names given")
     os.makedirs(PIN_DIR, exist_ok=True)
     for n in names:
-        pin(outdir, n)
+        log_pin(n, pin(outdir, n), reason)
