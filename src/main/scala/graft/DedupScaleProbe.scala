@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Document-dedup scale-headroom instrument (not part of the driver
+  * contract): runs the PRODUCTION s01 (MinHash-LSH near-dup pairs) and
+  * s10 (pairs -> connected components -> keeper) query paths unchanged
+  * against a synthesized corpus of SPARK_GRAFT_DEDUP_N documents
+  * (default 1M), so the "first production job of a training-data
+  * pipeline" claim rests on the same code the driver oracles at sf0.01.
+  *
+  * Corpus (deterministic, id-seeded, generated in parallel):
+  *  - planted near-dup clusters of 5 (ids [0, N/50)): member j of a
+  *    cluster replaces j of the cluster's 240 base words with unique
+  *    tokens, spanning exact dups (J=1.0) down to pairs straddling the
+  *    0.8 verification threshold. Ground truth = exact shingle Jaccard
+  *    per in-cluster pair, recomputed independently (same generator,
+  *    EntityLink.jaccard directly — no LSH).
+  *  - one giant boilerplate cluster (ids [N/50, N/50 + N/20)): IDENTICAL
+  *    template pages — every band hashes them into one bucket, the
+  *    banded-join skew case the spanning-chain guard in
+  *    [[graft.queries.SimilarityQueries.neardupPairsOf]] exists for.
+  *  - the rest: unique 120-word docs, 30% carrying a shared 30-word
+  *    boilerplate prefix (partial-signature skew, no true dups).
+  *
+  * Reported: recall of detected pairs vs planted truth, keeper
+  * correctness vs an independent driver-side union-find over the
+  * detected pairs (all N assignments checked distributively), the giant
+  * cluster collapsing to one keeper, and per-stage walls — s01 cold
+  * (shingle+band+join+verify+persist), s01 warm (persisted read-back),
+  * s10 (warm pairs -> CC -> keeper attach over all N docs).
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DEDUP_N=1000000 \
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.DedupScaleProbe"
+  * Run at CPUS=8 then 32 for a dedup scaling cycle.
+  */
+object DedupScaleProbe {
+
+  private val NavTemplate = (1 to 40).map(i => s"navitem$i home search login").mkString(" ")
+  private val BoilerPrefix = (1 to 30).map(i => s"sitehdr$i").mkString(" ")
+
+  private def clusterBase(cid: Long): Array[String] = {
+    val rnd = new scala.util.Random(cid * 2654435761L)
+    Array.fill(240)("w" + rnd.nextInt(500000))
+  }
+
+  /** Member j of a cluster replaces j base words at deterministic
+    * scattered positions with member-unique tokens.
+    */
+  private def clusterText(cid: Long, member: Int): String = {
+    val words = clusterBase(cid)
+    var p = 0
+    while (p < member) {
+      val pos = (((cid * 7919 + member * 104729 + p * 1299709) % 240 + 240) % 240).toInt
+      words(pos) = s"u${cid}_${member}_$p"
+      p += 1
+    }
+    words.mkString(" ")
+  }
+
+  private def textOf(id: Long, clusterEnd: Long, navEnd: Long): String =
+    if (id < clusterEnd) clusterText(id / 5, (id % 5).toInt)
+    else if (id < navEnd) NavTemplate
+    else {
+      val rnd = new scala.util.Random(id * 31)
+      val unique = Array.fill(120)("w" + rnd.nextInt(500000)).mkString(" ")
+      if (id % 10 < 3) BoilerPrefix + " " + unique else unique
+    }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_N", "1000000").toLong
+    val dir = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DIR", "/tmp/graft_dedup_scale")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import MainUtil.timed
+
+    val clusterEnd = n / 50 / 5 * 5 // whole clusters of 5
+    val navEnd = clusterEnd + n / 20
+    val nClusters = clusterEnd / 5
+
+    spark.range(0, n, 1, cpus.toInt * 4)
+      .map(id => (id, textOf(id, clusterEnd, navEnd)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    println(s"PROBE dedup corpus written: $n docs " +
+      s"($nClusters planted clusters of 5, ${navEnd - clusterEnd} boilerplate pages)")
+
+    // planted ground truth: exact shingle Jaccard per in-cluster pair,
+    // via the SAME jaccard/shingle code the engine verifies with but NO
+    // LSH in the path (what LSH recall is measured against)
+    val truth = spark.range(0, nClusters).flatMap { cid =>
+      val texts = (0 until 5).map(m => graft.queries.SimilarityQueries
+        .wordShingles(clusterText(cid, m)))
+      for {
+        i <- 0 until 5; j <- (i + 1) until 5
+        jac = graft.stages.EntityLink.jaccard(texts(i), texts(j))
+        if jac >= 0.8
+      } yield (cid * 5 + i, cid * 5 + j)
+    }.collect().toSet
+    println(s"PROBE planted truth: ${truth.size} in-cluster pairs with exact J >= 0.8")
+
+    // s01: cold build (shingle + band + chain/join + verify + persist),
+    // then warm read-back of the persisted pair table
+    def s01() = timed(SparkEntry.queries("s01_minhash_neardup")(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))))
+    val (pairs, wCold) = s01()
+    val (_, wWarm) = s01()
+    println(f"PROBE s01 cpus=$cpus n=$n cold=$wCold%.2f warm=$wWarm%.2f " +
+      f"pairs=${pairs.length} docs_per_sec_cold=${n / wCold}%.0f")
+
+    val detected = pairs.toSet
+    val hit = truth.count(detected.contains)
+    println(f"PROBE s01 recall vs planted truth: ${hit.toDouble / truth.size}%.4f " +
+      s"($hit/${truth.size})")
+    val navChain = pairs.count { case (a, b) => a >= clusterEnd && a < navEnd && b < navEnd }
+    val navN = navEnd - clusterEnd
+    println(s"PROBE giant cluster: $navChain chain edges for $navN identical pages " +
+      s"(all-pairs would be ${navN * (navN - 1) / 2})")
+    require(navChain < 3 * navN, "spanning-chain guard failed: giant bucket exploded")
+
+    // s10 over the warm pair table: CC + keeper attach across all N docs
+    val (s10df, wS10) = timed {
+      val df = SparkEntry.queries("s10_dedup_keeper")(spark, dir)
+      df.count()
+      df
+    }
+    println(f"PROBE s10 cpus=$cpus n=$n wall=$wS10%.2f (warm pairs -> CC -> keeper attach)")
+
+    // independent keeper recompute: driver-side union-find over the
+    // DETECTED pairs, checked distributively against every engine row
+    val uf = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
+      var c = x
+      while (uf.getOrElse(c, c) != c) { val nx = uf.getOrElse(c, c); uf(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val pairedDocs = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val compMin = scala.collection.mutable.Map.empty[Long, Long]
+    pairedDocs.foreach { d =>
+      val r = find(d)
+      compMin(r) = math.min(compMin.getOrElse(r, Long.MaxValue), d)
+    }
+    val expectedDf = pairedDocs.map(d => (d, compMin(find(d)))).toSeq
+      .toDF("doc_id", "exp_keeper")
+    val mismatches = s10df.join(expectedDf, Seq("doc_id"))
+      .filter(col("keeper_doc_id") =!= col("exp_keeper")).count()
+    val totalDropped = s10df.filter(col("is_dropped")).count()
+    val expectedDropped = pairedDocs.length - compMin.size
+    println(s"PROBE s10 keeper check: $mismatches mismatches vs union-find; " +
+      s"dropped=$totalDropped expected=$expectedDropped " +
+      s"(components=${compMin.size}, paired docs=${pairedDocs.length})")
+    require(mismatches == 0 && totalDropped == expectedDropped,
+      "s10 keeper assignments diverge from independent union-find")
+    spark.stop()
+  }
+}

@@ -63,8 +63,31 @@ object SimilarityQueries {
   /** The s01 pair engine over ANY (doc_id: Long, text: String) frame —
     * public so the flagship entry pipeline can dedup its page corpus
     * with the same banded-join machinery the s01/s10 oracle checks.
+    *
+    * Hostile-input guard (boilerplate skew): a web corpus holds runs of
+    * near-identical template pages (nav/boilerplate) whose shingle sets
+    * — and therefore whole MinHash signatures — coincide, putting tens
+    * of thousands of docs into ONE (band, bkey) bucket in EVERY band.
+    * An unconditional all-pairs self-join is O(c^2) candidates per such
+    * bucket (50k identical pages -> 1.25e9 pairs x 8 bands) — the
+    * banded join's entire purpose defeated by exactly the corpus shape
+    * dedup exists for. Buckets over `maxFullBucket` therefore emit a
+    * SPANNING DOUBLE CHAIN instead: members sorted by doc_id, each
+    * paired with its next two neighbors — O(2c) edges that keep the
+    * cluster connected for the s10 components/keeper stage (one
+    * verified-edge failure cannot split it), at the documented cost of
+    * not enumerating every within-cluster pair (for dedup the pair
+    * table is an intermediate: C(c,2) pairs carry no more keeper
+    * information than a chain). EntityLink purges its hot buckets
+    * outright — correct for entity linking where a hot shingle is
+    * non-discriminative noise — but here a hot bucket is SIGNAL (a
+    * genuine giant dup cluster) and must be kept, so the guard degrades
+    * the edge set, never drops it. Unlike the purge, never silent in
+    * shape: chain edges still pass the exact-Jaccard verification
+    * below. sf-scale buckets sit far below the cap, so the driver
+    * oracle pins are byte-identical with or without the guard.
     */
-  def neardupPairsOf(docsDf: DataFrame): DataFrame = {
+  def neardupPairsOf(docsDf: DataFrame, maxFullBucket: Int = 256): DataFrame = {
     val sp = docsDf.sparkSession
     import sp.implicits._
     val d = docsDf.select("doc_id", "text").as[(Long, String)]
@@ -77,9 +100,30 @@ object SimilarityQueries {
       }
     }.toDF("doc_id", "band", "bkey")
 
-    val pairs = banded.as("l").join(banded.as("r"),
+    // ONE shuffle on (band, bkey) serves both the size and the chain:
+    // the unordered count frame and the ordered lead frame share the
+    // partitioning, and the small-bucket self-join below re-keys on the
+    // same columns (AQE exchange reuse)
+    val w = Window.partitionBy("band", "bkey")
+    val ws = w.orderBy("doc_id")
+    val sized = banded
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__nxt1", lead(col("doc_id"), 1).over(ws))
+      .withColumn("__nxt2", lead(col("doc_id"), 2).over(ws))
+
+    val small = sized.filter(col("__bsz") <= maxFullBucket)
+      .select("doc_id", "band", "bkey")
+    val fullPairs = small.as("l").join(small.as("r"),
         $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
+
+    val big = sized.filter(col("__bsz") > maxFullBucket)
+    val chainPairs = big.filter(col("__nxt1").isNotNull)
+      .select(col("doc_id").as("a"), col("__nxt1").as("b"))
+      .unionByName(big.filter(col("__nxt2").isNotNull)
+        .select(col("doc_id").as("a"), col("__nxt2").as("b")))
+
+    val pairs = fullPairs.unionByName(chainPairs).distinct()
 
     val texts = d.toDF("id", "t")
     pairs

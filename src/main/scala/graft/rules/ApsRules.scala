@@ -78,24 +78,34 @@ object ApsRules {
     var venue: Option[(String, String)] = None
     var doi: Option[String] = None
 
+    // ONE matcher per pattern per call, reset(line) per line — the
+    // previous per-line matcher allocation (4 Matchers x ~30 lines) was
+    // the largest term left in the extraction allocation profile after
+    // the slicer rewrite (AllocProbe); stripped is likewise computed
+    // once per line instead of three times
+    val cm = contactPat.matcher("")
+    val am = affilPat.matcher("")
+    val vm = venuePat.matcher("")
+    val dm = doiPat.matcher("")
     lines.foreach { raw =>
       val line = raw.stripLineEnd
-      val cm = contactPat.matcher(line.strip())
+      val stripped = line.strip()
+      cm.reset(stripped)
       if (cm.matches()) {
         emailByMark.getOrElseUpdate(cm.group(1), cm.group(2))
       } else {
-        val am = affilPat.matcher(line)
-        if (am.matches() && line.strip().startsWith("*")) {
+        am.reset(line)
+        if (am.matches() && stripped.startsWith("*")) {
           val body = Text.cleanWs(Text.stripMdLinks(am.group(2)))
           if (body.nonEmpty && body.contains(",")) { // affiliations carry addresses
             if (am.group(1).nonEmpty) affilByNum(am.group(1)) = body
             else unnumbered += body
           }
         }
-        val vm = venuePat.matcher(line.strip())
+        vm.reset(stripped)
         if (vm.matches() && venue.isEmpty)
           venue = Some((Text.cleanWs(vm.group(1)), Text.cleanWs(vm.group(2))))
-        val dm = doiPat.matcher(line)
+        dm.reset(line)
         if (dm.find() && doi.isEmpty) doi = Some(dm.group(1).strip())
       }
     }

@@ -68,6 +68,37 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("s01 giant-bucket guard: boilerplate cluster yields O(n) edges, keeper intact") {
+    import spark.implicits._
+    // 600 IDENTICAL template pages (one giant LSH bucket in every band,
+    // far over the 256 cap) + one normal near-dup pair + unique filler.
+    // Without the spanning-chain guard the self-join would plan
+    // C(600,2) = 179,700 candidates per band for the template cluster.
+    val template = (1 to 40).map(i => s"nav$i").mkString(" ")
+    val near = (1 to 40).map(i => s"body$i").mkString(" ")
+    val docsDf = (
+      (1000L until 1600L).map(id => (id, template)) ++
+        Seq((1L, near), (2L, near)) ++
+        (10L until 30L).map(id => (id, (1 to 40).map(i => s"u${id}_$i").mkString(" ")))
+      ).toDF("doc_id", "text")
+    val pairs = graft.queries.SimilarityQueries.neardupPairsOf(docsDf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the normal-bucket path still enumerates its pair
+    assert(pairs.contains((1L, 2L)))
+    // giant cluster: double chain = at most 2 edges per member, not n^2
+    val giant = pairs.filter { case (a, b) => a >= 1000 && b >= 1000 }
+    assert(giant.length >= 599, s"chain too sparse to span: ${giant.length}")
+    assert(giant.length <= 1200, s"giant bucket not chained: ${giant.length} edges")
+    // and the keeper stage still collapses the cluster to one keeper
+    val keep = graft.queries.SimilarityQueries.keeperAssignments(
+      graft.queries.SimilarityQueries.neardupPairsOf(docsDf), docsDf.select("doc_id"))
+      .filter(col("doc_id") >= 1000)
+      .select("keeper_doc_id", "is_dropped").collect()
+    assert(keep.length == 600)
+    assert(keep.forall(_.getLong(0) == 1000L), "cluster keeper must be the min id")
+    assert(keep.count(!_.getBoolean(1)) == 1, "exactly one page kept")
+  }
+
   test("s01 persisted pair table invalidates when the documents table changes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_s01_inval").toString
