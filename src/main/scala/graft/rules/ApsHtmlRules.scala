@@ -25,7 +25,7 @@ import scala.collection.mutable
 object ApsHtmlRules {
 
   private def tagStrip(html: String): String =
-    Text.cleanWs(Text.decodeEntities(html.replaceAll("<[^>]+>", " ")))
+    Text.tagStrip(html)
 
   private def firstGroup(p: Pattern, html: String): Option[String] = {
     val m = p.matcher(html)
@@ -167,7 +167,7 @@ object ApsHtmlRules {
 
   private def parseFallbackLinks(html: String): Seq[(String, Seq[String], Seq[String])] =
     allGroups(genericAuthorLink, html).take(10).map(tagStrip)
-      .filter(n => n.nonEmpty && n.split("\\s+").length >= 2) // F5
+      .filter(n => n.nonEmpty && Text.splitWs(n).length >= 2) // F5
       .map(n => (n, Seq.empty[String], Seq.empty[String]))
 
   def parse(html: String, sourcePath: String): PaperRecord = {

@@ -29,8 +29,7 @@ import scala.collection.mutable
   */
 object NatureRules {
 
-  private def tagStrip(html: String): String =
-    Text.cleanWs(Text.decodeEntities(html.replaceAll("<[^>]+>", " ")))
+  private def tagStrip(html: String): String = Text.tagStrip(html)
 
   private val titlePat = Pattern.compile(
     """<h1[^>]*class="[^"]*c-article-title[^"]*"[^>]*>(.*?)</h1>""", Pattern.DOTALL)

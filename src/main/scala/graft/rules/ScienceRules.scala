@@ -29,7 +29,7 @@ import scala.collection.mutable
 object ScienceRules {
 
   private def tagStrip(html: String): String =
-    Text.cleanWs(Text.decodeEntities(html.replaceAll("<[^>]+>", " ")))
+    Text.tagStrip(html)
 
   // One author block = everything from its opening tag up to the next
   // author block or the end of the contributors section. The opening tag

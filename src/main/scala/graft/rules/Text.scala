@@ -36,6 +36,22 @@ object Text {
   /** Strip markdown inline links: `[label](url)` -> `label`. */
   private val mdLink = Pattern.compile("\\[([^\\]]*)\\]\\([^)]*\\)")
   def stripMdLinks(s: String): String = mdLink.matcher(s).replaceAll("$1")
+
+  /** HTML fragment -> cleaned text: drop tags, decode entities, collapse
+    * whitespace. ONE compiled tag pattern for all three HTML rule maps —
+    * each previously went through `String.replaceAll`, which compiles a
+    * fresh Pattern on EVERY call (~20 calls/page in the extraction hot
+    * path; the largest per-page allocation term in the HTML shapes'
+    * AllocProbe profile).
+    */
+  private val tag = Pattern.compile("<[^>]+>")
+  def tagStrip(html: String): String =
+    cleanWs(decodeEntities(tag.matcher(html).replaceAll(" ")))
+
+  /** Whitespace split via the shared compiled pattern (a literal
+    * `split("\\s+")` re-compiles per call).
+    */
+  def splitWs(s: String): Array[String] = ws.split(s)
 }
 
 /** Institution / country normalizer (A8) — reproduces the semantics of
