@@ -46,11 +46,14 @@ object SparkEntry {
     val pairs = SimilarityQueries.neardupPairsOf(pages)
     val keep = SimilarityQueries.keeperAssignments(pairs, pages.select("doc_id"))
 
-    // bridge page ids -> extracted paper docIds with the SAME parser the
-    // extraction pass dispatches (quarantined pages contribute no row)
+    // bridge page ids -> paper docIds via the LIGHT per-shape identity
+    // rule (MentionDetect.docIdOf) — the full parseOne here tripled the
+    // corpus parse count just to recover one field (pages quarantined on
+    // identity grounds contribute no row; docIdOf parity with parseOne
+    // is spec-gated over this corpus)
     val bridge = files.mapPartitions(_.flatMap { f =>
-      graft.stages.MentionDetect.parseOne(f).toOption
-        .map(r => (entryPageId(f.repo, f.path), r.docId))
+      graft.stages.MentionDetect.docIdOf(f)
+        .map(d => (entryPageId(f.repo, f.path), d))
     }).toDF("doc_id", "docId")
     val dedup = bridge.join(keep, Seq("doc_id"))
       .groupBy(col("docId"))

@@ -74,20 +74,41 @@ object SimilarityQueries {
     * bucket (50k identical pages -> 1.25e9 pairs x 8 bands) — the
     * banded join's entire purpose defeated by exactly the corpus shape
     * dedup exists for. Buckets over `maxFullBucket` therefore emit a
-    * SPANNING DOUBLE CHAIN instead: members sorted by doc_id, each
-    * paired with its next two neighbors — O(2c) edges that keep the
-    * cluster connected for the s10 components/keeper stage (one
-    * verified-edge failure cannot split it), at the documented cost of
-    * not enumerating every within-cluster pair (for dedup the pair
-    * table is an intermediate: C(c,2) pairs carry no more keeper
-    * information than a chain). EntityLink purges its hot buckets
-    * outright — correct for entity linking where a hot shingle is
+    * SPANNING DOUBLE CHAIN instead: members sorted, each paired with
+    * its next two neighbors — O(2c) edges that keep the cluster
+    * connected for the s10 components/keeper stage (one verified-edge
+    * failure cannot split it), at the documented cost of not
+    * enumerating every within-cluster pair (for dedup the pair table
+    * is an intermediate: C(c,2) pairs carry no more keeper information
+    * than a chain). EntityLink purges its hot buckets outright —
+    * correct for entity linking where a hot shingle is
     * non-discriminative noise — but here a hot bucket is SIGNAL (a
     * genuine giant dup cluster) and must be kept, so the guard degrades
     * the edge set, never drops it. Unlike the purge, never silent in
     * shape: chain edges still pass the exact-Jaccard verification
     * below. sf-scale buckets sit far below the cap, so the driver
     * oracle pins are byte-identical with or without the guard.
+    *
+    * Chain ORDER matters: a giant bucket is not always one pure dup
+    * cluster — a single band's key can also collide for docs that are
+    * NOT near-dups (a boilerplate block that happens to supply all of
+    * one band's minhash rows), interleaving several true clusters plus
+    * noise in one bucket. A doc_id-ordered chain links similarity-
+    * UNCORRELATED neighbors there: edges between dissimilar neighbors
+    * fail the Jaccard verification and a true sub-cluster whose members
+    * sit > 2 apart in id order fragments (silent recall loss). Chains
+    * therefore order by the member's FULL packed MinHash signature
+    * ([[packSig]]) — docs of one true cluster have identical or
+    * near-identical signatures, so they sort contiguous and their chain
+    * edges survive verification regardless of how the bucket interleaves
+    * them. Residual (documented) loss: a true pair whose ONLY
+    * co-colliding band is a giant bucket AND whose signatures sort
+    * non-adjacently inside it; for J >= 0.8 the other Bands-1 bands
+    * catch the pair with p = 1-(1-J^RowsPerBand)^(Bands-1) (~0.94 at
+    * the 0.8 threshold, higher above it). The signature recompute for
+    * chain ordering is confined to giant-bucket members (the
+    * pathological minority), so the normal path's shuffle width is
+    * unchanged.
     */
   def neardupPairsOf(docsDf: DataFrame, maxFullBucket: Int = 256): DataFrame = {
     val sp = docsDf.sparkSession
@@ -102,16 +123,13 @@ object SimilarityQueries {
       }
     }.toDF("doc_id", "band", "bkey")
 
-    // ONE shuffle on (band, bkey) serves both the size and the chain:
-    // the unordered count frame and the ordered lead frame share the
-    // partitioning, and the small-bucket self-join below re-keys on the
-    // same columns (AQE exchange reuse)
+    // ONE shuffle on (band, bkey) serves the size window, and the
+    // small-bucket self-join below re-keys on the same columns (AQE
+    // exchange reuse). The chain's lead window runs only over the
+    // giant-bucket slice (with its signature sort key joined in), so
+    // normal buckets never pay for it.
     val w = Window.partitionBy("band", "bkey")
-    val ws = w.orderBy("doc_id")
-    val sized = banded
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__nxt1", lead(col("doc_id"), 1).over(ws))
-      .withColumn("__nxt2", lead(col("doc_id"), 2).over(ws))
+    val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
 
     val small = sized.filter(col("__bsz") <= maxFullBucket)
       .select("doc_id", "band", "bkey")
@@ -119,11 +137,16 @@ object SimilarityQueries {
         $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
 
+    // giant-bucket members re-derive their full signature once (linear
+    // in the pathological minority, not the corpus) as the chain's
+    // similarity-preserving sort key — see the ordering note above
     val big = sized.filter(col("__bsz") > maxFullBucket)
-    val chainPairs = big.filter(col("__nxt1").isNotNull)
-      .select(col("doc_id").as("a"), col("__nxt1").as("b"))
-      .unionByName(big.filter(col("__nxt2").isNotNull)
-        .select(col("doc_id").as("a"), col("__nxt2").as("b")))
+      .select("doc_id", "band", "bkey")
+    val giantSigs = big.select("doc_id").distinct()
+      .join(d.toDF("doc_id", "text"), "doc_id").as[(Long, String)]
+      .map { case (id, t) => (id, packSig(EntityLink.signature(wordShingles(t)))) }
+      .toDF("doc_id", "__sig")
+    val chainPairs = giantBucketChains(big.join(giantSigs, "doc_id"))
 
     val pairs = fullPairs.unionByName(chainPairs).distinct()
 
@@ -137,6 +160,45 @@ object SimilarityQueries {
       }
       .toDF("a", "b", "jaccard")
       .filter($"jaccard" >= 0.8)
+  }
+
+  /** Spanning double chain over giant-bucket members: per (band, bkey),
+    * members sort by (__sig, doc_id) and each pairs with its next two
+    * neighbors. Split from [[neardupPairsOf]] so the ordering property
+    * is directly testable with injected sort keys (a real false-positive
+    * giant bucket can't be constructed deterministically from text).
+    * Pairs normalize via least/greatest — signature order is NOT id
+    * order, so (doc_id, next) can arrive in either orientation.
+    */
+  private[graft] def giantBucketChains(keyed: DataFrame): DataFrame = {
+    val ws = Window.partitionBy("band", "bkey").orderBy(col("__sig"), col("doc_id"))
+    val led = keyed
+      .withColumn("__nxt1", lead(col("doc_id"), 1).over(ws))
+      .withColumn("__nxt2", lead(col("doc_id"), 2).over(ws))
+    led.filter(col("__nxt1").isNotNull)
+      .select(least(col("doc_id"), col("__nxt1")).as("a"),
+        greatest(col("doc_id"), col("__nxt1")).as("b"))
+      .unionByName(led.filter(col("__nxt2").isNotNull)
+        .select(least(col("doc_id"), col("__nxt2")).as("a"),
+          greatest(col("doc_id"), col("__nxt2")).as("b")))
+  }
+
+  /** Full MinHash signature packed to a byte key whose unsigned
+    * lexicographic order (Spark's BinaryType ordering) equals the
+    * signed elementwise order of the signature: big-endian longs with
+    * the sign bit flipped. Near-identical docs get identical keys, so a
+    * sig-ordered window puts true dup-cluster members contiguous.
+    */
+  private[graft] def packSig(sig: Array[Long]): Array[Byte] = {
+    val out = new Array[Byte](sig.length * 8)
+    var i = 0
+    while (i < sig.length) {
+      val v = sig(i) ^ Long.MinValue
+      var j = 0
+      while (j < 8) { out(i * 8 + j) = (v >>> (56 - 8 * j)).toByte; j += 1 }
+      i += 1
+    }
+    out
   }
 
   /** s01's verified near-dup pair table (a, b, jaccard >= 0.8),
@@ -439,9 +501,20 @@ object SimilarityQueries {
   private[graft] def ivfSeedCountFromMarker(s: SparkSession, dir: String): Boolean = {
     implicit val sp = s
     val k = sys.env.getOrElse("SPARK_GRAFT_IVF_K", "16").toInt
-    val (_, snapBase) = embSnapshot(dir)
+    val (centStage, snap) = ivfCentIdentity(dir, k)
     val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
-    ivfSeedCount(s, ck, s"ivf${k}_cent_${dirTag(dir)}", s"$snapBase-k${k}i2", dir, k)._2
+    ivfSeedCount(s, ck, centStage, snap, dir, k)._2
+  }
+
+  /** The centroid stage's (stage name, snapshot id) — ONE construction
+    * shared by [[annIvf]] and the [[ivfSeedCountFromMarker]] spec hook.
+    * The two strings must stay byte-identical: a format edit reaching
+    * only one site would make the warm-path spec probe a nonexistent
+    * (or stale same-format) marker.
+    */
+  private def ivfCentIdentity(dir: String, k: Int)(implicit s: SparkSession): (String, String) = {
+    val (_, snapBase) = embSnapshot(dir)
+    (s"ivf${k}_cent_${dirTag(dir)}", s"$snapBase-k${k}i2")
   }
 
   /** Embeddings-snapshot fingerprint shared by the persisted ANN
@@ -509,15 +582,25 @@ object SimilarityQueries {
     * snapshot id (round-4 ADVICE #4); walking to the part files also
     * future-proofs the staleness gate for partitioned source tables.
     */
-  private def fileStatusFp(dir: String, table: String)(implicit s: SparkSession): Long = {
+  private[graft] def fileStatusFp(dir: String, table: String)(implicit s: SparkSession): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     if (fs.getFileStatus(p).isDirectory) {
+      val base = p.toUri.getPath
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val st = it.next()
-        if (!st.getPath.getName.startsWith("_"))
+        // hidden check on every RELATIVE path component, not just the
+        // leaf: listFiles(_, true) recurses into _temporary/... left by
+        // a dead or concurrent writer, and part files under it have
+        // ordinary names — fingerprinting them would churn the snapshot
+        // id (rebuild on residue, rebuild again on cleanup) and could
+        // capture a mid-write table state the flat listing never saw
+        val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val hidden = rel.split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden)
           files += ((st.getPath.toString, st.getLen, st.getModificationTime))
       }
     } else {
@@ -813,25 +896,46 @@ object SimilarityQueries {
     val k = sys.env.getOrElse("SPARK_GRAFT_IVF_K", "16").toInt
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "2").toInt
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
-    val (n, snapBase) = embSnapshot(dir)
-    val snap = s"$snapBase-k${k}i2"
+    val (n, _) = embSnapshot(dir)
+    val (centStage, snap) = ivfCentIdentity(dir, k)
     val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
-    // both IVF stages run through the same marker row-count validation
-    // as s04's buckets (round-3 ADVICE: a torn overwrite on the shared
-    // unlocked root previously served a short centroid/list table with
-    // no detection)
-    val centStage = s"ivf${k}_cent_${dirTag(dir)}"
-    val (seedN, _) = ivfSeedCount(s, ck, centStage, snap, dir, k)
-    require(seedN > 0,
+    val (seedN0, fromMarker) = ivfSeedCount(s, ck, centStage, snap, dir, k)
+    require(seedN0 > 0,
       s"s07 IVF: no quantizer seed vectors (expected rows with vec_id < $k)")
-    val centDf = validatedStage(s, ck, centStage, snap,
-        expectedRows = seedN) {
+    def buildCent(): DataFrame = {
       val seed: Array[Array[Double]] =
         embsBelow(dir, k).collect().sortBy(_._1).map(_._2.map(_.toDouble).toArray)
       lloyd(e, seed, iters = 2).zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid")
     }
-    val centroids: Array[Array[Double]] = centDf.collect()
+    // Centroid-stage validation (round-3 ADVICE: a torn overwrite on the
+    // shared unlocked root once served a short centroid table with no
+    // detection). COLD path: the marker's rows compare against the
+    // independent pushed-count expectation (validatedStage). WARM path:
+    // seedN came FROM the marker, so a marker-rows compare would be
+    // circular (true by construction) — instead the marker validates
+    // against the centroid rows the query collects anyway: a genuine
+    // data-vs-marker check with zero extra jobs.
+    var centDf =
+      if (fromMarker) ck.stage(s, centStage, snap)(buildCent())
+      else validatedStage(s, ck, centStage, snap, expectedRows = seedN0)(buildCent())
+    var centroidRows = centDf.collect()
+    var seedN = seedN0
+    if (fromMarker && centroidRows.length != seedN0.toInt) {
+      // the marker's rows line disagrees with the data it gates (torn
+      // data overwrite, or a rows line corrupted into another parseable
+      // value) — rebuild against the independent pushed count
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"s07 centroid stage: marker rows=$seedN0 but table has " +
+          s"${centroidRows.length} rows — rebuilding")
+      ck.invalidate(s, centStage)
+      seedN = embs(dir).filter(col("vec_id") < k).select("vec_id").count()
+      centDf = validatedStage(s, ck, centStage, snap, expectedRows = seedN)(buildCent())
+      centroidRows = centDf.collect()
+    }
+    require(centroidRows.length == seedN.toInt,
+      s"s07 centroid stage: ${centroidRows.length} rows vs expected $seedN")
+    val centroids: Array[Array[Double]] = centroidRows
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
     val assigned = validatedStage(s, ck, s"ivf${k}_assign_${dirTag(dir)}", snap,
         expectedRows = n, partitionByCols = Seq("cid")) {

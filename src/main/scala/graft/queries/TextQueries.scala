@@ -273,9 +273,95 @@ object TextQueries {
       .orderBy("lang", "rank")
   }
 
+  /** Benchmark-contamination check (the pre-training hygiene op): which
+    * training docs share any 13-gram with the eval set. Eval set =
+    * doc_id % 7 == 0 (a deterministic stand-in for a benchmark table —
+    * the driver's corpus has no separate eval parquet). 13 words is the
+    * standard contamination window (GPT-3 appendix C / PaLM use 13-gram
+    * overlap). Shape at scale: eval sets are tiny next to the corpus, so
+    * the eval gram set BROADCASTS and the corpus side is one scan +
+    * broadcast join — content never shuffles; per-doc grams are
+    * array_distinct'd so n_overlap counts distinct contaminated grams.
+    */
+  private val contamination: Q = (s, dir) => {
+    implicit val sp = s
+    val grams13 = array_distinct(transform(sequence(lit(1), size(col("ws")) - 12),
+      i => array_join(slice(col("ws"), i, lit(13)), " ")))
+    val base = docs(dir)
+      .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("ws")) >= 13)
+      .select(col("doc_id"), explode(grams13).as("gram"))
+    val evalGrams = base.filter(col("doc_id") % 7 === 0).select("gram").distinct()
+    base.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Data-mixing weights (training-mix design): per-language sampling
+    * rate that moves the corpus toward a UNIFORM per-language token
+    * budget — rate = min(1, (total/n_langs)/lang_tokens), i.e.
+    * over-represented languages downsample, under-represented ones keep
+    * everything (rate 1.0; upsampling is a repeat factor decided
+    * downstream). The unpartitioned window runs over the per-language
+    * AGGREGATE (k rows), not the corpus — one corpus scan + one k-row
+    * window, no content shuffle.
+    */
+  private val domainMix: Q = (s, dir) => {
+    implicit val sp = s
+    def r(c: Column, s0: Int): Column = floor(c * s0 + 0.5) / s0
+    val wAll = Window.partitionBy()
+    docs(dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+      .withColumn("total_tokens", sum("lang_tokens").over(wAll))
+      .withColumn("n_langs", count(lit(1)).over(wAll))
+      .withColumn("sample_rate",
+        r(least(lit(1.0), (col("total_tokens").cast("double") / col("n_langs")) /
+          col("lang_tokens").cast("double")), 10000))
+      .withColumn("expected_tokens",
+        floor(col("lang_tokens") * col("sample_rate")).cast("long"))
+      .select("lang", "lang_tokens", "sample_rate", "expected_tokens")
+      .orderBy("lang")
+  }
+
+  /** Duplicated-span inventory (exact substring dedup, the Lee et al.
+    * "Deduplicating Training Data" signal): per doc, how many of its
+    * 20-word rolling windows occur >= 2 times across the whole corpus
+    * (incl. within-doc repeats). Scale shape: spans shuffle as 8-byte
+    * xxhash64 keys, never as strings (the oracle groups by the span
+    * text itself — identical counts barring a 2^-64 collision); the
+    * duplicated-key set is filtered BEFORE the join back, so the second
+    * shuffle carries only the duplicated minority.
+    */
+  private val dupSpans: Q = (s, dir) => {
+    implicit val sp = s
+    def r(c: Column, s0: Int): Column = floor(c * s0 + 0.5) / s0
+    val spans20 = transform(sequence(lit(1), size(col("ws")) - 19),
+      i => array_join(slice(col("ws"), i, lit(20)), " "))
+    val spans = docs(dir)
+      .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("ws")) >= 20)
+      .select(col("doc_id"), explode(spans20).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+    val dup = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    spans.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_fraction",
+        r(col("n_dup_spans").cast("double") / col("n_spans"), 10000))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "t13_stratified_sample" -> stratifiedSample,
     "t14_bigram_topk" -> bigramTopk,
+    "t15_contamination" -> contamination,
+    "t16_domain_mix" -> domainMix,
+    "t17_dup_spans" -> dupSpans,
     "t01_dedup_exact" -> dedupExact,
     "t02_token_count" -> tokenCount,
     "t03_quality_score" -> qualityScore,
@@ -404,5 +490,59 @@ object TextQueries {
       """SELECT event_id,
         |  len(regexp_extract_all(props, '[0-9]+')) AS n_nums,
         |  md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t15_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 13),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(ws) - 11),
+        |        i -> array_to_string(ws[i:i+12], ' '))) AS gram
+        |    FROM w)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+        |SELECT g.doc_id, count(*) AS n_overlap
+        |FROM g JOIN e USING (gram)
+        |WHERE g.doc_id % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t16_domain_mix" ->
+      """WITH l AS (
+        |  SELECT lang,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS lang_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT lang, lang_tokens,
+        |    sum(lang_tokens) OVER () AS total_tokens,
+        |    count(*) OVER () AS n_langs
+        |  FROM l)
+        |SELECT lang, lang_tokens,
+        |  floor(least(CAST(1.0 AS DOUBLE), (CAST(total_tokens AS DOUBLE) / n_langs)
+        |    / CAST(lang_tokens AS DOUBLE)) * 10000 + 0.5) / 10000 AS sample_rate,
+        |  CAST(floor(lang_tokens * (floor(least(CAST(1.0 AS DOUBLE),
+        |    (CAST(total_tokens AS DOUBLE) / n_langs) / CAST(lang_tokens AS DOUBLE))
+        |    * 10000 + 0.5) / 10000)) AS BIGINT) AS expected_tokens
+        |FROM t ORDER BY lang""".stripMargin,
+
+    "t17_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 20),
+        |sp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 18),
+        |      i -> array_to_string(ws[i:i+19], ' '))) AS span
+        |  FROM w),
+        |c AS (SELECT span, count(*) AS n_occ FROM sp GROUP BY 1)
+        |SELECT sp.doc_id,
+        |  count(*) AS n_spans,
+        |  sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+        |  floor(CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5) / 10000 AS dup_fraction
+        |FROM sp JOIN c USING (span)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -147,6 +147,21 @@ object ApsRules {
   def parseRaw(markdown: String, sourcePath: String): Option[PaperRecord] =
     MarkdownSlicer.slice(markdown).map(parseSliced(_, sourcePath))
 
+  /** docId of an already-sliced page WITHOUT the full parse: first DOI
+    * line (P15) else the source path — must mirror parseSliced's
+    * `docId = doi.getOrElse(sourcePath)` (parity is spec-gated over the
+    * fixture corpus in GoldenTripleSpec).
+    */
+  def docIdOfSliced(sliced: String, sourcePath: String): String = {
+    val dm = doiPat.matcher("")
+    val it = sliced.linesIterator
+    while (it.hasNext) {
+      dm.reset(it.next())
+      if (dm.find()) return dm.group(1).strip()
+    }
+    sourcePath
+  }
+
   private def parseAuthors(
       line: String,
       affilByNum: Map[String, String],

@@ -37,6 +37,31 @@ object MentionDetect {
     }
   }
 
+  /** Page docId WITHOUT the full parse — only the per-shape identity
+    * rule (canonical URL / DOI / path fallback). The flagship entry's
+    * dedup bridge needs just (pageId -> docId); routing it through
+    * [[parseOne]] re-ran the whole author/affiliation extraction per
+    * page, adding a third full corpus parse on top of the two
+    * Pipeline.run performs by design. None where parseOne quarantines
+    * on identity grounds (unknown shape tag, no aps-md body, identity
+    * rule throws); a page whose identity extracts but whose FULL parse
+    * would fail mid-extraction still yields its docId here — acceptable
+    * for the bridge (its triples never materialize, so the id only
+    * feeds page counting), parity otherwise spec-gated over the fixture
+    * corpus in GoldenTripleSpec.
+    */
+  def docIdOf(f: SourceFile): Option[String] =
+    Try {
+      f.lang match {
+        case "aps-md" =>
+          MarkdownSlicer.slice(f.content).map(ApsRules.docIdOfSliced(_, f.path))
+        case "aps-html" => Some(ApsHtmlRules.docIdOf(f.content, f.path))
+        case "nature-html" => Some(NatureRules.canonicalUrl(f.content).getOrElse(f.path))
+        case "science-html" => Some(ScienceRules.canonicalUrl(f.content).getOrElse(f.path))
+        case _ => None
+      }
+    }.toOption.flatten
+
   def records(files: Dataset[SourceFile]): Dataset[PaperRecord] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[PaperRecord]
     files.mapPartitions(_.map(parseOne).collect { case Right(r) => r })

@@ -60,6 +60,21 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("t15 contamination broadcasts the eval gram set; t17 joins on hashes") {
+    val p15 = SparkEntry.queries("t15_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the eval side must broadcast (it is tiny next to the corpus); the
+    // corpus side must never shuffle gram strings for this join
+    assert(p15.contains("BroadcastHashJoin"), p15)
+    assert(!p15.contains("CartesianProduct"), p15)
+    val p17 = SparkEntry.queries("t17_dup_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // span occurrence counting groups/joins on xxhash64 keys, so the
+    // shuffles carry 8-byte keys, not 20-word strings
+    assert(p17.contains("xxhash64"), p17)
+    assert(!p17.contains("CartesianProduct"), p17)
+  }
+
   test("s01 minhash LSH self-join is an equi join on band keys, not a cartesian") {
     // assert on the BUILD-side plan: the registered query reads the
     // persisted pair table back, which would hide the join shape
@@ -97,6 +112,62 @@ class QueriesSpec extends SparkSpec {
     assert(keep.length == 600)
     assert(keep.forall(_.getLong(0) == 1000L), "cluster keeper must be the min id")
     assert(keep.count(!_.getBoolean(1)) == 1, "exactly one page kept")
+  }
+
+  test("s01 giant-bucket chains order by signature: interleaved clusters stay connected") {
+    import spark.implicits._
+    // A giant bucket is not always one pure dup cluster: a band-level
+    // collision can interleave SEVERAL true clusters in one bucket. A
+    // doc_id-ordered chain links similarity-uncorrelated neighbors
+    // (cross-cluster edges fail Jaccard verification -> clusters
+    // fragment); the sig-ordered chain puts each cluster contiguous.
+    // Injected sort keys (a real false-positive bucket is not
+    // deterministically constructible from text): 39 docs in ONE
+    // (band, bkey) bucket, cluster = id % 3, ids interleaved so id
+    // order alternates clusters and even the +-2 skip edge never links
+    // two same-cluster members.
+    def key(cluster: Int) = Array.fill(8)(cluster.toLong)
+    val rows = (0L until 39L).map(id =>
+      (id, 0, 7L, graft.queries.SimilarityQueries.packSig(key((id % 3).toInt))))
+    val edges = graft.queries.SimilarityQueries.giantBucketChains(
+        rows.toDF("doc_id", "band", "bkey", "__sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.forall { case (a, b) => a < b }, "pairs must be normalized a < b")
+    // verification would drop cross-cluster edges: the SAME-cluster
+    // edges alone must still span each cluster (union-find)
+    for (c <- 0 until 3) {
+      val members = (0L until 39L).filter(_ % 3 == c)
+      val parent = scala.collection.mutable.Map(members.map(m => m -> m): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.filter { case (a, b) => a % 3 == c && b % 3 == c }
+        .foreach { case (a, b) => parent(find(a)) = find(b) }
+      assert(members.map(find).distinct.size == 1,
+        s"cluster $c fragments under chain ordering: ${members.map(find).distinct}")
+    }
+  }
+
+  test("file-status fingerprint ignores hidden dirs but sees new part files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    implicit val s = spark
+    val fp0 = graft.queries.SimilarityQueries.fileStatusFp(dir, "documents.parquet")
+    // _temporary residue from a dead/concurrent writer must NOT move the
+    // fingerprint: listFiles(_, true) recurses into it and its part
+    // files have ordinary names, so a leaf-only hidden check would churn
+    // the snapshot (rebuild on residue, rebuild again on cleanup)
+    val tmp = java.nio.file.Paths.get(dir, "documents.parquet", "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-00000"), Array[Byte](1, 2, 3))
+    assert(graft.queries.SimilarityQueries.fileStatusFp(dir, "documents.parquet") == fp0,
+      "_temporary residue moved the fingerprint")
+    // a REAL new part file must move it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "documents.parquet", "part-extra.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(graft.queries.SimilarityQueries.fileStatusFp(dir, "documents.parquet") != fp0,
+      "new data file did not move the fingerprint")
   }
 
   test("s01 persisted pair table invalidates when the documents table changes") {

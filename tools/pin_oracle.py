@@ -106,7 +106,9 @@ if __name__ == "__main__":
     reason = None
     if "--reason" in args:
         i = args.index("--reason")
-        reason = args[i + 1]
+        # --reason as the LAST arg must hit the usage message below,
+        # not an IndexError traceback
+        reason = args[i + 1] if i + 1 < len(args) else None
         args = args[:i] + args[i + 2:]
     if not args or reason is None or not reason.strip():
         raise SystemExit(
