@@ -282,18 +282,19 @@ object TextQueries {
     * the eval gram set BROADCASTS and the corpus side is one scan +
     * broadcast join — content never shuffles; per-doc grams are
     * array_distinct'd so n_overlap counts distinct contaminated grams.
+    * Gram keys come from the native [[graft.functions.WordWindowHashes]]
+    * expression — O(words) rolling hashes, zero intermediate span
+    * strings, codegen'd — so the broadcast set is longs, not strings.
     */
   private val contamination: Q = (s, dir) => {
     implicit val sp = s
-    val grams13 = array_distinct(transform(sequence(lit(1), size(col("ws")) - 12),
-      i => array_join(slice(col("ws"), i, lit(13)), " ")))
     val base = docs(dir)
-      .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
-      .filter(size(col("ws")) >= 13)
-      .select(col("doc_id"), explode(grams13).as("gram"))
-    val evalGrams = base.filter(col("doc_id") % 7 === 0).select("gram").distinct()
+      .withColumn("hs",
+        graft.functions.WordWindowHashes.wordWindowHashes(lower(trim(col("text"))), 13))
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+    val evalGrams = base.filter(col("doc_id") % 7 === 0).select("h").distinct()
     base.filter(col("doc_id") % 7 =!= 0)
-      .join(broadcast(evalGrams), Seq("gram"))
+      .join(broadcast(evalGrams), Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
@@ -330,21 +331,23 @@ object TextQueries {
     * "Deduplicating Training Data" signal): per doc, how many of its
     * 20-word rolling windows occur >= 2 times across the whole corpus
     * (incl. within-doc repeats). Scale shape: spans shuffle as 8-byte
-    * xxhash64 keys, never as strings (the oracle groups by the span
-    * text itself — identical counts barring a 2^-64 collision); the
+    * 8-byte rolling hashes, never as strings (the oracle groups by the
+    * span text itself — identical counts barring a 2^-64 collision);
+    * keys come from the native codegen'd
+    * [[graft.functions.WordWindowHashes]] — the lambda formulation
+    * (transform + array_join + xxhash64) materialized one ~150-byte
+    * string PER WINDOW POSITION before hashing and fell out of
+    * WholeStageCodegen (higher-order fns are CodegenFallback); the
     * duplicated-key set is filtered BEFORE the join back, so the second
     * shuffle carries only the duplicated minority.
     */
   private val dupSpans: Q = (s, dir) => {
     implicit val sp = s
     def r(c: Column, s0: Int): Column = floor(c * s0 + 0.5) / s0
-    val spans20 = transform(sequence(lit(1), size(col("ws")) - 19),
-      i => array_join(slice(col("ws"), i, lit(20)), " "))
     val spans = docs(dir)
-      .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
-      .filter(size(col("ws")) >= 20)
-      .select(col("doc_id"), explode(spans20).as("span"))
-      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+      .withColumn("hs",
+        graft.functions.WordWindowHashes.wordWindowHashes(lower(trim(col("text"))), 20))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val dup = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
     spans.join(dup, Seq("h"), "left")

@@ -69,9 +69,9 @@ class QueriesSpec extends SparkSpec {
     assert(!p15.contains("CartesianProduct"), p15)
     val p17 = SparkEntry.queries("t17_dup_spans")(spark, sf)
       .queryExecution.executedPlan.toString
-    // span occurrence counting groups/joins on xxhash64 keys, so the
-    // shuffles carry 8-byte keys, not 20-word strings
-    assert(p17.contains("xxhash64"), p17)
+    // span occurrence counting groups/joins on native rolling-hash
+    // keys, so the shuffles carry 8-byte longs, not 20-word strings
+    assert(p17.contains("word_window_hashes"), p17)
     assert(!p17.contains("CartesianProduct"), p17)
   }
 
