@@ -97,9 +97,10 @@ object SimilarityQueries {
     * UNCORRELATED neighbors there: edges between dissimilar neighbors
     * fail the Jaccard verification and a true sub-cluster whose members
     * sit > 2 apart in id order fragments (silent recall loss). Chains
-    * therefore order by the member's FULL packed MinHash signature
-    * ([[packSig]]) — docs of one true cluster have identical or
-    * near-identical signatures, so they sort contiguous and their chain
+    * therefore order by a compact per-band signature key
+    * ([[sigOrderKey]]: the first minhash row of every band) — docs of
+    * one true cluster have identical or near-identical signatures, so
+    * they sort contiguous and their chain
     * edges survive verification regardless of how the bucket interleaves
     * them. Residual (documented) loss: a true pair whose ONLY
     * co-colliding band is a giant bucket AND whose signatures sort
@@ -142,9 +143,18 @@ object SimilarityQueries {
     // similarity-preserving sort key — see the ordering note above
     val big = sized.filter(col("__bsz") > maxFullBucket)
       .select("doc_id", "band", "bkey")
-    val giantSigs = big.select("doc_id").distinct()
-      .join(d.toDF("doc_id", "text"), "doc_id").as[(Long, String)]
-      .map { case (id, t) => (id, packSig(EntityLink.signature(wordShingles(t)))) }
+    // NOTE: both joins below are deliberate plain equi joins. The id
+    // and key sides hang off the banded exchange — broadcasting either
+    // forces an eager broadcast-BUILD job that recomputes that whole
+    // lineage (exchange reuse does not cross into a broadcast build
+    // executed before the main job), i.e. a second full corpus
+    // re-shingle: measured 98 s -> 153 s (c8/c32 mixed) with the
+    // broadcasts vs ~71/33 s without. The text shuffle this equi join
+    // pays is shared with the verification join's text exchanges.
+    val giantSigs = d.toDF("doc_id", "text")
+      .join(big.select("doc_id").distinct(), "doc_id")
+      .as[(Long, String)]
+      .map { case (id, t) => (id, sigOrderKey(EntityLink.signature(wordShingles(t)))) }
       .toDF("doc_id", "__sig")
     val chainPairs = giantBucketChains(big.join(giantSigs, "doc_id"))
 
@@ -189,6 +199,28 @@ object SimilarityQueries {
     * the sign bit flipped. Near-identical docs get identical keys, so a
     * sig-ordered window puts true dup-cluster members contiguous.
     */
+  /** Compact similarity-preserving chain order key: the FIRST minhash
+    * row of EVERY band (Bands longs, 128 B packed) instead of the full
+    * NumHashes-long signature (1 KB). Grouping behavior is what the
+    * chain needs — identical docs get identical keys and stay
+    * contiguous; near-dups agree on the leading key rows with
+    * probability J each and group by prefix depth; unrelated docs in a
+    * false-positive bucket differ in the first rows of the OTHER bands
+    * whp (one row per band means no single band collision can blind the
+    * whole key). The width matters operationally: a giant bucket of
+    * identical docs makes every sort comparison walk the ENTIRE key
+    * before the doc_id tiebreak, and the full-signature key measured
+    * 218 s vs 71 s (c8, 1M docs, 50k-identical cluster) for the s01
+    * cold build — the 8x narrower key removes that superlinear term
+    * while ordering near-identically (BASELINE.md round-5 close-out).
+    */
+  private[graft] def sigOrderKey(sig: Array[Long]): Array[Byte] = {
+    val strided = new Array[Long](EntityLink.Bands)
+    var b = 0
+    while (b < EntityLink.Bands) { strided(b) = sig(b * EntityLink.RowsPerBand); b += 1 }
+    packSig(strided)
+  }
+
   private[graft] def packSig(sig: Array[Long]): Array[Byte] = {
     val out = new Array[Byte](sig.length * 8)
     var i = 0
