@@ -917,16 +917,17 @@ object SimilarityQueries {
     * broadcasts the 10x2-row probe side. s03 brute force is the
     * exact-answer reference (recall asserted in QueriesSpec).
     */
-  private val annIvf: Q = (s, dir) => {
+  /** Build-or-read the persisted IVF quantizer for `dir`: the validated
+    * (vec_id, embedding, cid) assignment table (cid-partitioned) and the
+    * collected centroids — shared by [[annIvf]] (probe path) and
+    * [[clusterStats]] (s11: the quantizer read as an analytics table).
+    * k is env-tunable for the scale probe only; stage names + snapshots
+    * carry k so probe runs never collide with the pinned-index stages.
+    */
+  private[graft] def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
     implicit val sp = s
     import sp.implicits._
-    // k and nprobe are env-tunable for the scale probe ONLY (at 10 M
-    // vectors the right quantizer is k~sqrt(N)-ish, not 16); the
-    // defaults are the production/pinned configuration and the stage
-    // names + snapshot ids carry k, so probe runs at other sizes never
-    // collide with (or invalidate) the pinned-index stages
     val k = sys.env.getOrElse("SPARK_GRAFT_IVF_K", "16").toInt
-    val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "2").toInt
     val e = embs(dir).select("vec_id", "embedding").as[(Long, Seq[Float])]
     val (n, _) = embSnapshot(dir)
     val (centStage, snap) = ivfCentIdentity(dir, k)
@@ -974,6 +975,14 @@ object SimilarityQueries {
       e.map { case (id, v) => (id, v, nearestCids(v, centroids, 1).head) }
         .toDF("vec_id", "embedding", "cid")
     }
+    (assigned, centroids)
+  }
+
+  private val annIvf: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "2").toInt
+    val (assigned, centroids) = ivfIndex(s, dir)
     val probeRows = embsBelow(dir, 10).collect()
       .flatMap { case (id, v) => nearestCids(v, centroids, nProbe).map(c => (id, v, c)) }
     val probes = probeRows.toSeq.toDF("probe_id", "probe", "cid")
@@ -1206,6 +1215,41 @@ object SimilarityQueries {
     keeperAssignments(minhashDedup(s, dir), docs(dir))
   }
 
+  /** s11: corpus cluster stats — the persisted IVF coarse quantizer
+    * (the SAME marker-validated index s07 probes) read as an analytics
+    * table: per-cluster membership, corpus share, and cohesion (mean
+    * cosine of members to their centroid). This is the data-mixing /
+    * topic-clustering op of a training pipeline — clustering for mixing
+    * is not a new index, it is the quantizer exposed. All stats are
+    * fixed-point so the output is parallelism-independent (pinnable):
+    * per-row cosines truncate to 1e-6 LONGS before the sum (long
+    * addition is associative; a double sum would be partition-order-
+    * dependent in its last ulps), and the means/shares round via the
+    * floor(x*s+0.5)/s convention. The window runs over the k-row
+    * AGGREGATE, not the corpus.
+    */
+  private val clusterStats: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val (assigned, centroids) = ivfIndex(s, dir)
+    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cid", "centroid")
+    val wAll = Window.partitionBy()
+    assigned
+      .join(broadcast(centDf), Seq("cid")) // literal 16-row local frame
+      .withColumn("cos1e6",
+        floor(cosineSim(col("embedding").cast("array<double>"), col("centroid")) * 1e6)
+          .cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum("cos1e6").as("cossum"))
+      .withColumn("share",
+        floor(col("n_vecs") * lit(10000.0) / sum(col("n_vecs")).over(wAll) + 0.5) / 10000)
+      .withColumn("mean_cos",
+        floor(col("cossum").cast("double") / col("n_vecs") / 100.0 + 0.5) / 10000)
+      .select("cid", "n_vecs", "share", "mean_cos")
+      .orderBy("cid")
+  }
+
   val all: Map[String, Q] = Map(
     "s01_minhash_neardup" -> minhashDedup,
     "s02_simhash_neardup" -> simhashDedup,
@@ -1216,7 +1260,8 @@ object SimilarityQueries {
     "s07_ann_ivf_topk" -> annIvf,
     "s08_frame_sample" -> frameSample,
     "s09_ann_sq8_rerank" -> annSq8,
-    "s10_dedup_keeper" -> dedupKeeper)
+    "s10_dedup_keeper" -> dedupKeeper,
+    "s11_cluster_stats" -> clusterStats)
 
   val oracle: Map[String, String] = Map(
     "s03_ann_cosine_topk" ->

@@ -114,6 +114,40 @@ class QueriesSpec extends SparkSpec {
     assert(keep.count(!_.getBoolean(1)) == 1, "exactly one page kept")
   }
 
+  test("s11 cluster stats match an independent brute-force recompute") {
+    // independent ground truth: own L2 argmin (not nearestCids), own
+    // dot-product cosine (not the CosineSimilarity expression), own
+    // fixed-point aggregation — only the persisted centroids are shared
+    // (they ARE the quantizer under test, already spec'd via s07)
+    val (_, centroids) = graft.queries.SimilarityQueries.ivfIndex(spark, sf)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2(v: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < c.length) { dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1 }
+      dot / math.sqrt(nv * nc)
+    }
+    val byCid = vecs.groupBy { case (_, v) =>
+      centroids.indices.minBy(i => l2(v, centroids(i)))
+    }
+    val total = vecs.length.toDouble
+    def r(x: Double, s0: Int): Double = math.floor(x * s0 + 0.5) / s0
+    val expected = byCid.map { case (cid, members) =>
+      val cossum = members.map { case (_, v) => math.floor(cos(v, centroids(cid)) * 1e6).toLong }.sum
+      (cid, members.length.toLong, r(members.length / total, 10000),
+        math.floor(cossum.toDouble / members.length / 100.0 + 0.5) / 10000)
+    }.toSet
+    val got = SparkEntry.queries("s11_cluster_stats")(spark, sf)
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1), r0.getDouble(2), r0.getDouble(3))).toSet
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+  }
+
   test("s01 giant-bucket chains order by signature: interleaved clusters stay connected") {
     import spark.implicits._
     // A giant bucket is not always one pure dup cluster: a band-level
