@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -21,15 +23,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * throwaway strings at corpus scale, and higher-order functions are
   * CodegenFallback (they break the WholeStageCodegen span). This
   * expression hashes each word once and ROLLS the window polynomial in
-  * O(1) per position — O(words) total, zero intermediate strings — and
-  * stays inside codegen via the [[SimHash64]] addReferenceObj pattern.
+  * O(1) per position — O(words) total — and stays inside codegen via
+  * the [[SimHash64]] addReferenceObj pattern. The scan runs directly
+  * over the UTF8String's UTF-8 BYTES (no per-row String decode): every
+  * delimiter in the ASCII \s set is a single byte that can never occur
+  * inside a multi-byte UTF-8 sequence, so byte-level splitting is exact.
   *
-  * Tokenization mirrors `split(<input>, "\\s+")` exactly (ASCII \s set,
-  * empty tokens skipped); pass `lower(trim(col))` as the child to match
-  * the t-family normalization. Window identity: equal word sequences
-  * hash equal; distinct sequences collide with ~2^-64 probability (same
-  * contract the xxhash64-of-string formulation had — per-doc COUNTS are
-  * what the DuckDB oracle checks, and it groups by the span text).
+  * Tokenization: words are maximal runs of non-whitespace (ASCII \s set,
+  * matching Java regex `\s`) — there is deliberately NO empty-token
+  * concept, so boundary whitespace is ignored. A DuckDB/Spark oracle
+  * reformulation must therefore FULL-TRIM before splitting
+  * (`regexp_replace(lower(text), '^\s+|\s+$', '', 'g')`): plain
+  * `trim` strips only 0x20 spaces, and `split`/`regexp_split_to_array`
+  * keep one empty token when the input starts or ends with a residual
+  * tab/newline — a word list this expression would never produce. Window identity:
+  * equal word sequences hash equal; distinct sequences collide with
+  * ~2^-64 probability (same contract the xxhash64-of-string formulation
+  * had — per-doc COUNTS are what the DuckDB oracle checks, and it
+  * groups by the span text).
   */
 case class WordWindowHashes(child: Expression, n: Int) extends UnaryExpression {
 
@@ -44,7 +55,7 @@ case class WordWindowHashes(child: Expression, n: Int) extends UnaryExpression {
       s"word_window_hashes requires a STRING argument, got ${child.dataType.catalogString}")
 
   def compute(s: UTF8String): ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(WordWindowHashes.hashes(s.toString, n))
+    UnsafeArrayData.fromPrimitiveArray(WordWindowHashes.hashes(s.getBytes, n))
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -60,21 +71,23 @@ case class WordWindowHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object WordWindowHashes {
 
-  // polynomial base (FNV-64 prime) and the removal multiplier P^(n-1)
-  // are fixed per window size; 2^64 wraparound IS the modulus
+  // polynomial base (FNV-64 prime) for word hashing and the window
+  // roll; 2^64 wraparound IS the modulus
   private val P = 1099511628211L
 
-  // `split("\\s+")` whitespace, exactly (Java regex \s is the ASCII
-  // set — NOT Character.isWhitespace, which adds Unicode spaces)
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+  // Java regex \s — the ASCII whitespace set (NOT Character.isWhitespace,
+  // which adds Unicode spaces). All are single bytes in UTF-8.
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 11.toByte || b == '\f'.toByte || b == '\r'.toByte
 
-  private def wordHash(s: String, start: Int, end: Int): Long = {
-    // FNV-1a over chars, then a murmur-style finalizer — equal words
-    // hash equal, and the finalizer decorrelates the polynomial inputs
+  private def wordHash(s: Array[Byte], start: Int, end: Int): Long = {
+    // FNV-1a over the word's bytes, then a murmur-style finalizer —
+    // equal words hash equal, and the finalizer decorrelates the
+    // polynomial inputs
     var h = 0xcbf29ce484222325L
     var i = start
-    while (i < end) { h ^= s.charAt(i); h *= P; i += 1 }
+    while (i < end) { h ^= (s(i) & 0xffL); h *= P; i += 1 }
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
     h ^ (h >>> 33)
@@ -84,30 +97,31 @@ object WordWindowHashes {
     * Returns one 64-bit hash per n-word window (empty when the text has
     * fewer than n words), rolling in O(1) per position.
     */
-  def hashes(text: String, n: Int): Array[Long] = {
-    val len = text.length
-    // pass 1: word boundaries -> per-word hashes (no substring allocs)
+  def hashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    val len = bytes.length
+    // pass 1: count words (no allocations)
     var nWords = 0
     var i = 0
     var inWord = false
     while (i < len) {
-      if (!isWs(text.charAt(i))) { if (!inWord) { nWords += 1; inWord = true } }
+      if (!isWs(bytes(i))) { if (!inWord) { nWords += 1; inWord = true } }
       else inWord = false
       i += 1
     }
     if (nWords < n) return Array.emptyLongArray
+    // pass 2: per-word hashes
     val wh = new Array[Long](nWords)
     var w = 0
     i = 0
     while (i < len) {
-      if (!isWs(text.charAt(i))) {
+      if (!isWs(bytes(i))) {
         val start = i
-        while (i < len && !isWs(text.charAt(i))) i += 1
-        wh(w) = wordHash(text, start, i)
+        while (i < len && !isWs(bytes(i))) i += 1
+        wh(w) = wordHash(bytes, start, i)
         w += 1
       } else i += 1
     }
-    // pass 2: rolling window polynomial h = sum wh(j) * P^(n-1-j)
+    // pass 3: rolling window polynomial h = sum wh(j) * P^(n-1-j)
     var pn = 1L // P^(n-1)
     var k = 1
     while (k < n) { pn *= P; k += 1 }
@@ -124,6 +138,10 @@ object WordWindowHashes {
     }
     out
   }
+
+  /** String convenience overload (tests). */
+  def hashes(text: String, n: Int): Array[Long] =
+    hashes(text.getBytes(StandardCharsets.UTF_8), n)
 
   /** Column builder (Column <-> Expression via the Spark 4 classic API). */
   def wordWindowHashes(c: Column, n: Int): Column =

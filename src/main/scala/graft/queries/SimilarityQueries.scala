@@ -193,15 +193,9 @@ object SimilarityQueries {
           greatest(col("doc_id"), col("__nxt2")).as("b")))
   }
 
-  /** Full MinHash signature packed to a byte key whose unsigned
-    * lexicographic order (Spark's BinaryType ordering) equals the
-    * signed elementwise order of the signature: big-endian longs with
-    * the sign bit flipped. Near-identical docs get identical keys, so a
-    * sig-ordered window puts true dup-cluster members contiguous.
-    */
   /** Compact similarity-preserving chain order key: the FIRST minhash
-    * row of EVERY band (Bands longs, 128 B packed) instead of the full
-    * NumHashes-long signature (1 KB). Grouping behavior is what the
+    * row of EVERY band (Bands = 16 longs, 128 B packed) instead of the
+    * full NumHashes = 64-long signature (512 B). Grouping behavior is what the
     * chain needs — identical docs get identical keys and stay
     * contiguous; near-dups agree on the leading key rows with
     * probability J each and group by prefix depth; unrelated docs in a
@@ -211,7 +205,7 @@ object SimilarityQueries {
     * identical docs makes every sort comparison walk the ENTIRE key
     * before the doc_id tiebreak, and the full-signature key measured
     * 218 s vs 71 s (c8, 1M docs, 50k-identical cluster) for the s01
-    * cold build — the 8x narrower key removes that superlinear term
+    * cold build — the 4x narrower key removes that pathological term
     * while ordering near-identically (BASELINE.md round-5 close-out).
     */
   private[graft] def sigOrderKey(sig: Array[Long]): Array[Byte] = {
@@ -221,6 +215,12 @@ object SimilarityQueries {
     packSig(strided)
   }
 
+  /** Long array packed to a byte key whose unsigned lexicographic order
+    * (Spark's BinaryType ordering) equals the signed elementwise order
+    * of the array: big-endian longs with the sign bit flipped. Used on
+    * [[sigOrderKey]]'s strided selection and directly by the
+    * injected-key chain-ordering spec.
+    */
   private[graft] def packSig(sig: Array[Long]): Array[Byte] = {
     val out = new Array[Byte](sig.length * 8)
     var i = 0
@@ -1237,9 +1237,14 @@ object SimilarityQueries {
     val wAll = Window.partitionBy()
     assigned
       .join(broadcast(centDf), Seq("cid")) // literal 16-row local frame
+      // zero-norm embeddings have undefined cosine (cosineSim -> NULL by
+      // design): they stay MEMBERS of their cluster but contribute 0
+      // cohesion — made explicit here rather than leaking NULL into the
+      // sum (which would silently skip them while the count kept them)
       .withColumn("cos1e6",
-        floor(cosineSim(col("embedding").cast("array<double>"), col("centroid")) * 1e6)
-          .cast("long"))
+        floor(coalesce(
+          cosineSim(col("embedding").cast("array<double>"), col("centroid")),
+          lit(0.0)) * 1e6).cast("long"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"), sum("cos1e6").as("cossum"))
       .withColumn("share",

@@ -290,7 +290,7 @@ object TextQueries {
     implicit val sp = s
     val base = docs(dir)
       .withColumn("hs",
-        graft.functions.WordWindowHashes.wordWindowHashes(lower(trim(col("text"))), 13))
+        graft.functions.WordWindowHashes.wordWindowHashes(lower(col("text")), 13))
       .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
     val evalGrams = base.filter(col("doc_id") % 7 === 0).select("h").distinct()
     base.filter(col("doc_id") % 7 =!= 0)
@@ -346,7 +346,7 @@ object TextQueries {
     def r(c: Column, s0: Int): Column = floor(c * s0 + 0.5) / s0
     val spans = docs(dir)
       .withColumn("hs",
-        graft.functions.WordWindowHashes.wordWindowHashes(lower(trim(col("text"))), 20))
+        graft.functions.WordWindowHashes.wordWindowHashes(lower(col("text")), 20))
       .select(col("doc_id"), explode(col("hs")).as("h"))
     val dup = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
@@ -496,10 +496,13 @@ object TextQueries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "t15_contamination" ->
-      """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-        |  FROM documents
-        |  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 13),
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(t, '\s+') AS ws
+        |  FROM f WHERE len(regexp_split_to_array(t, '\s+')) >= 13),
         |g AS (
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
@@ -531,10 +534,13 @@ object TextQueries {
         |FROM t ORDER BY lang""".stripMargin,
 
     "t17_dup_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-        |  FROM documents
-        |  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 20),
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(t, '\s+') AS ws
+        |  FROM f WHERE len(regexp_split_to_array(t, '\s+')) >= 20),
         |sp AS (
         |  SELECT doc_id,
         |    unnest(list_transform(range(1, len(ws) - 18),

@@ -128,10 +128,15 @@ class QueriesSpec extends SparkSpec {
       while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
       acc
     }
+    // same op ORDER as CosineSimilarity.compute (sqrt(na)*sqrt(nb), not
+    // sqrt(na*nb)) — the result sits under a floor(x*1e6) so a last-ulp
+    // difference from reassociated math could flip a boundary; zero-norm
+    // handled explicitly (the query coalesces NULL cosine to 0)
     def cos(v: Array[Float], c: Array[Double]): Double = {
       var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
       while (i < c.length) { dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1 }
-      dot / math.sqrt(nv * nc)
+      val denom = math.sqrt(nv) * math.sqrt(nc)
+      if (denom == 0.0) 0.0 else dot / denom
     }
     val byCid = vecs.groupBy { case (_, v) =>
       centroids.indices.minBy(i => l2(v, centroids(i)))
@@ -140,7 +145,10 @@ class QueriesSpec extends SparkSpec {
     def r(x: Double, s0: Int): Double = math.floor(x * s0 + 0.5) / s0
     val expected = byCid.map { case (cid, members) =>
       val cossum = members.map { case (_, v) => math.floor(cos(v, centroids(cid)) * 1e6).toLong }.sum
-      (cid, members.length.toLong, r(members.length / total, 10000),
+      // share uses the QUERY's exact expression shape (n*10000.0/total,
+      // not (n/total)*10000): around the discontinuous floor the two
+      // differ in the last ulp and a half-integer boundary would flip
+      (cid, members.length.toLong, math.floor(members.length * 10000.0 / total + 0.5) / 10000,
         math.floor(cossum.toDouble / members.length / 100.0 + 0.5) / 10000)
     }.toSet
     val got = SparkEntry.queries("s11_cluster_stats")(spark, sf)

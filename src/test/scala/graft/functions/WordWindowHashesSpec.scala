@@ -29,9 +29,23 @@ class WordWindowHashesSpec extends SparkSpec with graft.PropChecks {
     // equal word sequences hash equal regardless of the whitespace
     // BETWEEN them (split(\s+) semantics)
     assert(hashes("a  b\t\tc", 3).sameElements(hashes("a b c", 3)))
-    // property: window hash set equals hashes of each joined window
-    checkProp(forAll(Gen.listOf(Gen.identifier), Gen.choose(1, 4)) { (ws, n) =>
-      val t = ws.mkString(" ")
+    // BOUNDARY whitespace of every ASCII \s kind is ignored — no empty
+    // tokens (split("\\s+", -1) would keep one; the oracles full-trim
+    // to match — see the expression scaladoc)
+    assert(hashes("\ta b c\n", 3).sameElements(hashes("a b c", 3)))
+    assert(hashes("\r\na b c \f", 3).sameElements(hashes("a b c", 3)))
+    assert(hashes("a b c\n", 3).length == 1)
+    // multi-byte UTF-8 content: byte-level splitting must not split
+    // inside a multi-byte sequence
+    assert(hashes("\u00e9t\u00e9 caf\u00e9", 2).length == 1)
+    assert(hashes("\u00e9t\u00e9 caf\u00e9", 2)
+      .sameElements(hashes(" \u00e9t\u00e9\tcaf\u00e9 ", 2)))
+    // property: window hash set equals hashes of each joined window —
+    // words joined by RANDOM whitespace runs, with random boundary
+    // whitespace (the divergence surface vs split-based formulations)
+    val wsGen = Gen.listOf(Gen.oneOf(" ", "\t", "\n", "\r", " \t")).map(_.mkString)
+    checkProp(forAll(Gen.listOf(Gen.identifier), Gen.choose(1, 4), wsGen, wsGen) { (ws, n, lead, trail) =>
+      val t = lead + ws.mkString(" ") + trail
       val rolled = hashes(t, n).toSeq
       val direct =
         if (ws.length < n) Seq.empty
@@ -52,8 +66,11 @@ class WordWindowHashesSpec extends SparkSpec with graft.PropChecks {
     def grams(n: Int) = transform(sequence(lit(1), size(col("ws")) - (n - 1)),
       i => array_join(slice(col("ws"), i, lit(n)), " "))
 
-    // t15 reference: string grams
-    val base = docs.withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+    // t15 reference: string grams over the FULL-trimmed text (plain trim
+    // strips only 0x20; a boundary tab/newline would add an empty token
+    // the expression never produces)
+    val fullTrim = regexp_replace(lower(col("text")), "^\\s+|\\s+$", "")
+    val base = docs.withColumn("ws", split(fullTrim, "\\s+"))
       .filter(size(col("ws")) >= 13)
       .select(col("doc_id"), explode(array_distinct(grams(13))).as("gram"))
     val evalG = base.filter(col("doc_id") % 7 === 0).select("gram").distinct()
@@ -65,8 +82,8 @@ class WordWindowHashesSpec extends SparkSpec with graft.PropChecks {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got15 == ref15)
 
-    // t17 reference: string spans
-    val spans = docs.withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+    // t17 reference: string spans (same full-trim contract)
+    val spans = docs.withColumn("ws", split(fullTrim, "\\s+"))
       .filter(size(col("ws")) >= 20)
       .select(col("doc_id"), explode(grams(20)).as("span"))
     val dup = spans.groupBy("span").agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
