@@ -35,7 +35,7 @@ object PinnedOracles {
     "s05_multimodal_decode", "s06_embedding_neardup", "s07_ann_ivf_topk",
     "s08_frame_sample", "s09_ann_sq8_rerank", "s10_dedup_keeper",
     "s11_cluster_stats",
-    "t07_fingerprint")
+    "t07_fingerprint", "t18_seq_pack")
 
   /** The s-family and t07 pins encode OUTPUTS OF THE sf0.01 TABLES — against any
     * other sfDir they are not wrong code but a mismatched snapshot, and

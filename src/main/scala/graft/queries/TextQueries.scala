@@ -359,7 +359,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (training-batch construction): greedily pack docs
+    * into fixed token-budget bins (B = 2048), the op that turns a
+    * filtered corpus into context-window-sized training rows. Packing
+    * is inherently sequential WITHIN a stream, so the corpus shards by
+    * pmod(doc_id, 16) and packs independently per (lang, shard) in
+    * doc_id order — embarrassingly parallel across shards, deterministic
+    * (the in-memory sort fixes groupByKey's arbitrary value order), and
+    * per-task memory is bounded by the shard, not the corpus. A doc
+    * over budget gets its own bin flagged is_overflow (downstream
+    * chunking policy, not packing's). Non-SQL fold -> VALUES pin +
+    * independent recompute spec; token convention matches t02
+    * (trim + \s+ split).
+    */
+  private val seqPack: Q = (s, dir) => {
+    implicit val sp = s
+    import sp.implicits._
+    val budget = 2048
+    docs(dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .as[(Long, String, Int)]
+      .groupByKey { case (id, lang, _) => (lang, (((id % 16) + 16) % 16).toInt) }
+      .flatMapGroups { (key: (String, Int), it: Iterator[(Long, String, Int)]) =>
+        val (lang, shard) = key
+        val members = it.toArray.sortBy(_._1)
+        var bin = 0
+        var fill = 0
+        val out = Array.newBuilder[(Long, String, Int, Int, Int, Boolean)]
+        members.foreach { case (id, _, tok) =>
+          if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0 }
+          out += ((id, lang, shard, bin, tok, tok > budget))
+          fill += tok
+          if (tok > budget) { bin += 1; fill = 0 } // overflow doc sits alone
+        }
+        out.result().iterator
+      }
+      .toDF("doc_id", "lang", "shard", "bin_seq", "n_tokens", "is_overflow")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "t18_seq_pack" -> seqPack,
     "t13_stratified_sample" -> stratifiedSample,
     "t14_bigram_topk" -> bigramTopk,
     "t15_contamination" -> contamination,

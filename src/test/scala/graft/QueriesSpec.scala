@@ -114,6 +114,40 @@ class QueriesSpec extends SparkSpec {
     assert(keep.count(!_.getBoolean(1)) == 1, "exactly one page kept")
   }
 
+  test("t18 sequence packing matches an independent fold and respects the budget") {
+    // independent ground truth: own tokenizer call path + own packing
+    // fold over the raw parquet, grouped/sharded the same way
+    val budget = 2048
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        // Spark's trim strips ONLY 0x20 spaces (Java String.trim also
+        // strips control chars) and Spark split keeps empty tokens
+        val stripped = r.getString(2).dropWhile(_ == ' ')
+          .reverse.dropWhile(_ == ' ').reverse
+        (r.getLong(0), r.getString(1), stripped.split("\\s+", -1).length)
+      }
+    val expected = rows.groupBy { case (id, lang, _) => (lang, (((id % 16) + 16) % 16).toInt) }
+      .toSeq.flatMap { case ((lang, shard), members) =>
+        var bin = 0; var fill = 0
+        members.sortBy(_._1).toSeq.map { case (id, _, tok) =>
+          if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0 }
+          val row = (id, lang, shard, bin, tok, tok > budget)
+          fill += tok
+          if (tok > budget) { bin += 1; fill = 0 }
+          row
+        }
+      }.toSet
+    val got = SparkEntry.queries("t18_seq_pack")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getBoolean(5))).toSet
+    assert(got == expected)
+    // every non-overflow bin fits the budget
+    val binTotals = got.toSeq.filterNot(_._6)
+      .groupBy(r => (r._2, r._3, r._4)).map(_._2.map(_._5).sum)
+    assert(binTotals.forall(_ <= budget), s"bin over budget: ${binTotals.max}")
+  }
+
   test("s11 cluster stats match an independent brute-force recompute") {
     // independent ground truth: own L2 argmin (not nearestCids), own
     // dot-product cosine (not the CosineSimilarity expression), own
