@@ -75,11 +75,15 @@ object WordWindowHashes {
   // roll; 2^64 wraparound IS the modulus
   private val P = 1099511628211L
 
-  // Java regex \s — the ASCII whitespace set (NOT Character.isWhitespace,
-  // which adds Unicode spaces). All are single bytes in UTF-8.
+  // RE2 \s — [\t\n\f\r ] — matching the DuckDB oracle dialect the
+  // t15/t17 reformulations are written in. (Java regex \s additionally
+  // matches vertical tab 0x0B; RE2's does not — a VT-containing text is
+  // the one place Spark's split-based formulation and the oracle would
+  // themselves disagree, so the expression sides with the oracle. All
+  // are single bytes in UTF-8.)
   private def isWs(b: Byte): Boolean =
     b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
-      b == 11.toByte || b == '\f'.toByte || b == '\r'.toByte
+      b == '\f'.toByte || b == '\r'.toByte
 
   private def wordHash(s: Array[Byte], start: Int, end: Int): Long = {
     // FNV-1a over the word's bytes, then a murmur-style finalizer —

@@ -1238,9 +1238,11 @@ object SimilarityQueries {
     assigned
       .join(broadcast(centDf), Seq("cid")) // literal 16-row local frame
       // zero-norm embeddings have undefined cosine (cosineSim -> NULL by
-      // design): they stay MEMBERS of their cluster but contribute 0
-      // cohesion — made explicit here rather than leaking NULL into the
-      // sum (which would silently skip them while the count kept them)
+      // design): they stay MEMBERS of their cluster and contribute 0
+      // cohesion, made explicit. (sum() skipping a NULL equals summing a
+      // 0, so for mixed clusters this changes nothing — the coalesce
+      // matters only for an ALL-zero-norm cluster, where cossum would
+      // otherwise be NULL, and for making the semantics readable.)
       .withColumn("cos1e6",
         floor(coalesce(
           cosineSim(col("embedding").cast("array<double>"), col("centroid")),

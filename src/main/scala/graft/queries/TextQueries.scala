@@ -14,6 +14,14 @@ object TextQueries {
   private def docs(dir: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** THE whitespace token-count convention (t02): trim + \s+ split.
+    * One definition — t02/t03/t16/t18 and their oracles must agree on
+    * it, including its documented quirk (plain trim strips only 0x20,
+    * so a boundary tab/newline contributes one empty token).
+    */
+  private def nTokens: org.apache.spark.sql.Column =
+    size(split(trim(col("text")), "\\s+"))
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Exact dedup: content-hash groupBy; keeper = min doc_id per cluster.
@@ -32,7 +40,7 @@ object TextQueries {
   private val tokenCount: Q = (s, dir) => {
     implicit val sp = s
     docs(dir)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_tokens", nTokens)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
@@ -47,7 +55,7 @@ object TextQueries {
     */
   private val qualityScore: Q = (s, dir) => {
     implicit val sp = s
-    val tokens = size(split(trim(col("text")), "\\s+"))
+    val tokens = nTokens
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
     // padded-split hit counting (RE2-portable: DuckDB has no \b)
     val stop = size(split(concat(lit(" "), col("text"), lit(" ")), "\\sthe\\s")) - 1
@@ -314,7 +322,7 @@ object TextQueries {
     def r(c: Column, s0: Int): Column = floor(c * s0 + 0.5) / s0
     val wAll = Window.partitionBy()
     docs(dir)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_tokens", nTokens)
       .groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
       .withColumn("total_tokens", sum("lang_tokens").over(wAll))
       .withColumn("n_langs", count(lit(1)).over(wAll))
@@ -374,26 +382,43 @@ object TextQueries {
     */
   private val seqPack: Q = (s, dir) => {
     implicit val sp = s
+    seqPackOf(docs(dir), budget = 2048)
+  }
+
+  /** The packing engine behind t18, budget-parameterized so the spec can
+    * drive the rollover / overflow / reset-after-overflow branches with
+    * a small synthetic budget (the sf corpora never fill a 2048 bin).
+    * STREAMING fold, not a grouped materialization: repartition by
+    * (lang, shard) puts whole groups in one partition,
+    * sortWithinPartitions fixes the deterministic doc_id order, and
+    * mapPartitions folds with O(1) state (bin/fill reset on each group
+    * boundary) — a flatMapGroups + toArray would materialize 1/16 of
+    * the dominant language per task, which at corpus scale is the OOM.
+    */
+  private[graft] def seqPackOf(d: DataFrame, budget: Int): DataFrame = {
+    val sp = d.sparkSession
     import sp.implicits._
-    val budget = 2048
-    docs(dir)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .as[(Long, String, Int)]
-      .groupByKey { case (id, lang, _) => (lang, (((id % 16) + 16) % 16).toInt) }
-      .flatMapGroups { (key: (String, Int), it: Iterator[(Long, String, Int)]) =>
-        val (lang, shard) = key
-        val members = it.toArray.sortBy(_._1)
+    d.withColumn("n_tokens", nTokens)
+      .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+      .select("doc_id", "lang", "shard", "n_tokens")
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions("lang", "shard", "doc_id")
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { it =>
+        var curLang: String = null
+        var curShard = -1
         var bin = 0
         var fill = 0
-        val out = Array.newBuilder[(Long, String, Int, Int, Int, Boolean)]
-        members.foreach { case (id, _, tok) =>
+        it.map { case (id, lang, shard, tok) =>
+          if (lang != curLang || shard != curShard) {
+            curLang = lang; curShard = shard; bin = 0; fill = 0
+          }
           if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0 }
-          out += ((id, lang, shard, bin, tok, tok > budget))
+          val row = (id, lang, shard, bin, tok, tok > budget)
           fill += tok
           if (tok > budget) { bin += 1; fill = 0 } // overflow doc sits alone
+          row
         }
-        out.result().iterator
       }
       .toDF("doc_id", "lang", "shard", "bin_seq", "n_tokens", "is_overflow")
       .orderBy("doc_id")

@@ -114,6 +114,30 @@ class QueriesSpec extends SparkSpec {
     assert(keep.count(!_.getBoolean(1)) == 1, "exactly one page kept")
   }
 
+  test("t18 packing engine: rollover, overflow, and reset-after-overflow (small budget)") {
+    import spark.implicits._
+    // the sf corpora never fill a 2048-token bin (max group ~1.1k
+    // tokens), so the pin alone cannot gate the interesting branches —
+    // drive them with budget 10 and HAND-COMPUTED expectations.
+    // en/shard0 group in doc_id order: 4 tok (bin0 fill4), 5 tok (bin0
+    // fill9), 2 tok (rollover -> bin1), 12 tok (rollover -> bin2,
+    // overflow alone, next bin), 2 tok (bin3). fr/shard1: own bin0.
+    val d = Seq(
+      (0L, "en", "a b c d"),
+      (16L, "en", "e f g h i"),
+      (32L, "en", "j k"),
+      (48L, "en", (1 to 12).map("w" + _).mkString(" ")),
+      (64L, "en", "x y"),
+      (17L, "fr", "a b")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.queries.TextQueries.seqPackOf(d, budget = 10)
+      .select("doc_id", "bin_seq", "is_overflow").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (0L, 0, false), (16L, 0, false), (32L, 1, false),
+      (48L, 2, true), (64L, 3, false), (17L, 0, false)), got)
+  }
+
   test("t18 sequence packing matches an independent fold and respects the budget") {
     // independent ground truth: own tokenizer call path + own packing
     // fold over the raw parquet, grouped/sharded the same way
