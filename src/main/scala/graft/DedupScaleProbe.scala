@@ -165,6 +165,44 @@ object DedupScaleProbe {
       s"(components=${compMin.size}, paired docs=${pairedDocs.length})")
     require(mismatches == 0 && totalDropped == expectedDropped,
       "s10 keeper assignments diverge from independent union-find")
+
+    // t17 duplicated-span inventory over the same corpus: the heaviest
+    // NEW shuffle shape of round 5 (every doc emits ~n_words rolling
+    // hashes; the 50k identical boilerplate pages put 7M span instances
+    // on 141 distinct keys — a skew stress for the partial aggregation).
+    // Planted expectations: every boilerplate page is 100% duplicated
+    // spans; pure-unique docs (no shared prefix) have zero.
+    val (t17df, wT17) = timed {
+      val df = SparkEntry.queries("t17_dup_spans")(spark, dir)
+      df.count()
+      df
+    }
+    println(f"PROBE t17 cpus=$cpus n=$n wall=$wT17%.2f (span inventory)")
+    val navBad = t17df.filter(col("doc_id") >= clusterEnd && col("doc_id") < navEnd)
+      .filter(col("dup_fraction") =!= 1.0).count()
+    val uniqueBad = t17df.filter(col("doc_id") >= navEnd)
+      .filter(pmod(col("doc_id"), lit(10)) >= 3)
+      .filter(col("n_dup_spans") =!= 0).count()
+    println(s"PROBE t17 planted check: $navBad boilerplate pages not fully duplicated, " +
+      s"$uniqueBad unique docs with phantom dup spans")
+    require(navBad == 0 && uniqueBad == 0, "t17 planted-duplicate expectations violated")
+
+    // t15 contamination: at this corpus the %7 eval convention makes an
+    // ADVERSARIALLY large eval set (~143k docs -> ~20M distinct eval
+    // grams broadcast) — production eval sets are orders smaller; green
+    // here means the broadcast path survives the unrealistic extreme.
+    // Planted: every non-eval boilerplate page shares ALL its grams
+    // with the eval boilerplate pages.
+    val (t15df, wT15) = timed {
+      val df = SparkEntry.queries("t15_contamination")(spark, dir)
+      df.count()
+      df
+    }
+    println(f"PROBE t15 cpus=$cpus n=$n wall=$wT15%.2f (contamination, adversarial eval size)")
+    val navNonEval = (clusterEnd until navEnd).count(_ % 7 != 0)
+    val navFlagged = t15df.filter(col("doc_id") >= clusterEnd && col("doc_id") < navEnd).count()
+    println(s"PROBE t15 planted check: $navFlagged/$navNonEval boilerplate pages flagged")
+    require(navFlagged == navNonEval, "t15 missed contaminated boilerplate pages")
     spark.stop()
   }
 }
