@@ -178,18 +178,17 @@ object DedupScaleProbe {
     // on 141 distinct keys — a skew stress for the partial aggregation).
     // Planted expectations: every boilerplate page is 100% duplicated
     // spans; pure-unique docs (no shared prefix) have zero.
-    // one aggregation pass over a cached result frame: without the cache
-    // every separate check re-executes the full 1M pipeline (multi-second
-    // walls per re-run on a stall-prone host)
+    // ONE uncached execution: the planted checks fold into a single
+    // aggregation over the query result, so the pipeline runs exactly
+    // once (separate per-check counts would re-execute it; a cache()
+    // would materialize every output column and triple the wall vs the
+    // pipeline itself)
     val (t17checks, wT17) = timed {
-      val df = SparkEntry.queries("t17_dup_spans")(spark, dir).cache()
-      df.count()
-      val row = df.agg(
+      val row = SparkEntry.queries("t17_dup_spans")(spark, dir).agg(
         sum(when(col("doc_id") >= clusterEnd && col("doc_id") < navEnd &&
           col("dup_fraction") =!= 1.0, 1L).otherwise(0L)).as("navBad"),
         sum(when(col("doc_id") >= navEnd && pmod(col("doc_id"), lit(10)) >= 3 &&
           col("n_dup_spans") =!= 0L, 1L).otherwise(0L)).as("uniqueBad")).head()
-      df.unpersist()
       (row.getLong(0), row.getLong(1))
     }
     val (navBad, uniqueBad) = t17checks
@@ -205,9 +204,7 @@ object DedupScaleProbe {
     // Planted: every non-eval boilerplate page shares ALL its grams
     // with the eval boilerplate pages.
     val (t15checks, wT15) = timed {
-      val df = SparkEntry.queries("t15_contamination")(spark, dir).cache()
-      df.count()
-      val row = df.agg(
+      val row = SparkEntry.queries("t15_contamination")(spark, dir).agg(
         sum(when(col("doc_id") >= clusterEnd && col("doc_id") < navEnd, 1L)
           .otherwise(0L)).as("navFlagged"),
         // FALSE-POSITIVE side: a pure-unique doc (no shared prefix, not
@@ -215,7 +212,6 @@ object DedupScaleProbe {
         // means the join key degenerated; recall alone would miss that
         sum(when(col("doc_id") >= navEnd && pmod(col("doc_id"), lit(10)) >= 3, 1L)
           .otherwise(0L)).as("uniqueFlagged")).head()
-      df.unpersist()
       (row.getLong(0), row.getLong(1))
     }
     val (navFlagged, uniqueFlagged) = t15checks
