@@ -116,15 +116,26 @@ object SimilarityQueries {
     import sp.implicits._
     val d = docsDf.select("doc_id", "text").as[(Long, String)]
 
-    val banded = bandedOf(d)
-
     // ONE shuffle on (band, bkey) serves the size window, and the
     // small-bucket self-join below re-keys on the same columns (AQE
     // exchange reuse). The chain's lead window runs only over the
     // giant-bucket slice (with its signature sort key joined in), so
     // normal buckets never pay for it.
     val w = Window.partitionBy("band", "bkey")
-    val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
+    val sized = bandedOf(d).withColumn("__bsz", count(lit(1)).over(w))
+    pairsFromSized(sized, d, maxFullBucket)
+  }
+
+  /** The pair engine downstream of the banding pass: takes the
+    * size-annotated band rows (doc_id, band, bkey, __bsz) plus the
+    * texts, so a caller that already materialized the banded frame
+    * (s12's delta, which also feeds the broadcast probe side) does not
+    * shingle the corpus a second time.
+    */
+  private[graft] def pairsFromSized(sized: DataFrame, d: Dataset[(Long, String)],
+      maxFullBucket: Int): DataFrame = {
+    val sp = d.sparkSession
+    import sp.implicits._
 
     val small = sized.filter(col("__bsz") <= maxFullBucket)
       .select("doc_id", "band", "bkey")
@@ -192,13 +203,24 @@ object SimilarityQueries {
     * the incremental path so the two can never diverge on the
     * verification contract.
     */
-  private[graft] def verifyPairs(pairs: DataFrame, d: Dataset[(Long, String)]): DataFrame = {
-    val sp = d.sparkSession
+  private[graft] def verifyPairs(pairs: DataFrame, d: Dataset[(Long, String)]): DataFrame =
+    verifyPairs(pairs, d, d)
+
+  /** Split-source variant: the a-side and b-side texts may come from
+    * different (pruned) frames — s12 fetches a-side texts from the old
+    * id range and b-side texts from the delta range, so each text scan
+    * carries a pushable id-range predicate instead of reading the whole
+    * table twice.
+    */
+  private[graft] def verifyPairs(pairs: DataFrame, dA: Dataset[(Long, String)],
+      dB: Dataset[(Long, String)]): DataFrame = {
+    val sp = dA.sparkSession
     import sp.implicits._
-    val texts = d.toDF("id", "t")
+    val textsA = dA.toDF("id", "t")
+    val textsB = dB.toDF("id", "t")
     pairs
-      .join(texts, pairs("a") === texts("id")).withColumnRenamed("t", "ta").drop("id")
-      .join(texts, pairs("b") === texts("id")).withColumnRenamed("t", "tb").drop("id")
+      .join(textsA, pairs("a") === textsA("id")).withColumnRenamed("t", "ta").drop("id")
+      .join(textsB, pairs("b") === textsB("id")).withColumnRenamed("t", "tb").drop("id")
       .select($"a", $"b", $"ta", $"tb").as[(Long, Long, String, String)]
       .map { case (a, b, ta, tb) =>
         (a, b, EntityLink.jaccard(wordShingles(ta), wordShingles(tb)))
@@ -388,30 +410,54 @@ object SimilarityQueries {
     * range already prunes via the pushed cutoff filter) — but never the
     * O(N) shingle/minhash compute, which dominates the cold build.
     */
+  /** Above this many delta docs the probe-side broadcast is no longer
+    * "small" (bands are 24 B/doc/band; 5M docs ~ 2 GB serialized) and
+    * the query falls back to a plain equi join — at that delta size the
+    * batch is a reindex, not an increment, and shuffling both sides is
+    * the correct plan.
+    */
+  private val Nd12BroadcastMaxDelta = 5000000L
+
   private val incrementalNeardup: Q = (s, dir) => {
     implicit val sp = s
     import sp.implicits._
     val cutoff = incrementalCutoff(s, dir)
     val bands = nd12Bands(s, dir, cutoff)
+    val deltaN = docs(dir).filter(col("doc_id") >= cutoff)
+      .select("doc_id").count()
     val delta = docs(dir).filter(col("doc_id") >= cutoff)
       .select("doc_id", "text").as[(Long, String)]
-    val dSized = bandedOf(delta).withColumn("__dsz",
+    // localCheckpoint: the size-annotated delta bands feed THREE
+    // consumers — the broadcast probe build (which executes as its own
+    // job; exchange reuse never crosses into a broadcast build), the
+    // rep selection, and the delta self-run below. Without
+    // materialization each would re-run the whole O(delta)
+    // shingle+window lineage. Blocks live on executors, so this stays
+    // distributed; eager = one banding job total per batch.
+    val dSized = bandedOf(delta).withColumn("__bsz",
       count(lit(1)).over(Window.partitionBy("band", "bkey")))
-    val probe = dSized.filter(col("__dsz") <= Nd12Cap)
-      .unionByName(dSized.filter(col("__dsz") > Nd12Cap)
+      .localCheckpoint(true)
+    val probe = dSized.filter(col("__bsz") <= Nd12Cap)
+      .unionByName(dSized.filter(col("__bsz") > Nd12Cap)
         .withColumn("__rk", row_number().over(
           Window.partitionBy("band", "bkey").orderBy("doc_id")))
         .filter(pmod(col("__rk") - 1,
-          greatest(ceil(col("__dsz") / lit(Nd12Reps.toDouble)), lit(1L))) === 0)
+          greatest(ceil(col("__bsz") / lit(Nd12Reps.toDouble)), lit(1L))) === 0)
         .drop("__rk"))
       .select(col("doc_id").as("b"), col("band"), col("bkey"))
+    val probeSide = if (deltaN <= Nd12BroadcastMaxDelta) broadcast(probe) else probe
     val cand = bands.filter(col("n_old") <= Nd12Cap || col("is_rep"))
-      .join(broadcast(probe), Seq("band", "bkey"))
+      .join(probeSide, Seq("band", "bkey"))
       .select(col("doc_id").as("a"), col("b"))
       .distinct()
+    // split text sources: a-side ids are all < cutoff, b-side >= cutoff
+    // — both scans carry a pushable id-range predicate
     val cross = verifyPairs(cand,
-      docs(dir).select("doc_id", "text").as[(Long, String)])
-    val newnew = neardupPairsOf(docs(dir).filter(col("doc_id") >= cutoff))
+      docs(dir).filter(col("doc_id") < cutoff)
+        .select("doc_id", "text").as[(Long, String)],
+      delta)
+    // delta self-run consumes the SAME materialized banded frame
+    val newnew = pairsFromSized(dSized, delta, Nd12Cap)
     cross.unionByName(newnew).orderBy("a", "b")
   }
 
