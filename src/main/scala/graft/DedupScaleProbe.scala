@@ -43,36 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupScaleProbe {
 
-  private val NavTemplate = (1 to 40).map(i => s"navitem$i home search login").mkString(" ")
-  private val BoilerPrefix = (1 to 30).map(i => s"sitehdr$i").mkString(" ")
-
-  private def clusterBase(cid: Long): Array[String] = {
-    val rnd = new scala.util.Random(cid * 2654435761L)
-    Array.fill(240)("w" + rnd.nextInt(500000))
-  }
-
   /** Member j of a cluster replaces j base words at deterministic
     * scattered positions with member-unique tokens.
     */
-  private def clusterText(cid: Long, member: Int): String = {
-    val words = clusterBase(cid)
-    var p = 0
-    while (p < member) {
-      val pos = (((cid * 7919 + member * 104729 + p * 1299709) % 240 + 240) % 240).toInt
-      words(pos) = s"u${cid}_${member}_$p"
-      p += 1
-    }
-    words.mkString(" ")
-  }
+  private def clusterText(cid: Long, member: Int): String =
+    ProbeCorpus.mutated(cid, salt = member, k = member, tag = "u")
 
   private def textOf(id: Long, clusterEnd: Long, navEnd: Long): String =
     if (id < clusterEnd) clusterText(id / 5, (id % 5).toInt)
-    else if (id < navEnd) NavTemplate
-    else {
-      val rnd = new scala.util.Random(id * 31)
-      val unique = Array.fill(120)("w" + rnd.nextInt(500000)).mkString(" ")
-      if (id % 10 < 3) BoilerPrefix + " " + unique else unique
-    }
+    else if (id < navEnd) ProbeCorpus.NavTemplate
+    else ProbeCorpus.uniqueText(id)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,18 +122,7 @@ object DedupScaleProbe {
 
     // independent keeper recompute: driver-side union-find over the
     // DETECTED pairs, checked distributively against every engine row
-    val uf = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
-      var c = x
-      while (uf.getOrElse(c, c) != c) { val nx = uf.getOrElse(c, c); uf(c) = r; c = nx }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    val find = MainUtil.unionFindRoots(pairs)
     val pairedDocs = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
     val compMin = scala.collection.mutable.Map.empty[Long, Long]
     pairedDocs.foreach { d =>

@@ -4,10 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Incremental-dedup scale-headroom instrument (not part of the driver
-  * contract): runs the PRODUCTION s12 path unchanged over a synthesized
-  * 1M-doc corpus whose id tail is the delta per the production cutoff
-  * rule (max_id / 10 * 9 -> last ~10%), and measures the claim the op
-  * exists for: a warm incremental batch costs O(delta), not O(corpus).
+  * contract): runs the PRODUCTION s12 path unchanged through the real
+  * ingest sequence — write the old corpus, build the old-bands index,
+  * APPEND a batch as new parquet files, run the incremental query
+  * against the surviving index — and measures the claim the op exists
+  * for: a warm incremental batch costs O(delta), not O(corpus). The
+  * append step is load-bearing: the round-5 review found the index was
+  * keyed on a whole-table snapshot, so this exact sequence rebuilt
+  * O(N) every batch and the "warm" wall was only reachable by
+  * re-running a byte-identical corpus; the probe now proves the
+  * slice-keyed index stays warm across the append before timing it.
   *
   * Corpus (deterministic, id-seeded, generated in parallel; N = 1M):
   *  - old planted clusters: ids [0, 20k) = 5k clusters of 4 (member j
@@ -29,9 +35,10 @@ import org.apache.spark.sql.functions._
   *
   * Reported: cross+newnew recall vs planted truth, zero non-delta
   * pairs, boilerplate connectivity through the representative links,
-  * and walls — s12 cold (= index build over the old ~900k + delta
-  * work), s12 warm (delta work only), and a full s01 rebuild over the
-  * same corpus as the per-batch cost the incremental path replaces.
+  * and walls — index build (old ~900k docs, pre-append), warm batch
+  * ×2 (delta work only, post-append), and a full s01 rebuild over the
+  * appended corpus as the per-batch cost the incremental path
+  * replaces.
   *
   * Usage: SPARK_GRAFT_CPUS=32 SPARK_GRAFT_INC_N=1000000 \
   *   GRAFT_ANN_INDEX_ROOT=/tmp/graft_inc_probe_index \
@@ -40,24 +47,8 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalScaleProbe {
 
-  private val NavTemplate = (1 to 40).map(i => s"navitem$i home search login").mkString(" ")
-  private val BoilerPrefix = (1 to 30).map(i => s"sitehdr$i").mkString(" ")
-
-  private def clusterBase(cid: Long): Array[String] = {
-    val rnd = new scala.util.Random(cid * 2654435761L)
-    Array.fill(240)("w" + rnd.nextInt(500000))
-  }
-
-  private def mutated(cid: Long, salt: Int, k: Int): String = {
-    val words = clusterBase(cid)
-    var p = 0
-    while (p < k) {
-      val pos = (((cid * 7919 + salt * 104729 + p * 1299709) % 240 + 240) % 240).toInt
-      words(pos) = s"m${cid}_${salt}_$p"
-      p += 1
-    }
-    words.mkString(" ")
-  }
+  private def mutated(cid: Long, salt: Int, k: Int): String =
+    ProbeCorpus.mutated(cid, salt, k, tag = "m")
 
   /** Layout boundaries for corpus size n and the production cutoff. */
   final case class Layout(n: Long, cutoff: Long) {
@@ -70,22 +61,16 @@ object IncrementalScaleProbe {
 
   private def textOf(id: Long, L: Layout): String =
     if (id < L.oldClusterEnd) mutated(id / 4, salt = (id % 4).toInt, k = (id % 4).toInt)
-    else if (id < L.navEnd) NavTemplate
-    else if (id < L.cutoff) uniqueText(id)
+    else if (id < L.navEnd) ProbeCorpus.NavTemplate
+    else if (id < L.cutoff) ProbeCorpus.uniqueText(id)
     else if (id < L.crossEnd) mutated(cid = id - L.cutoff, salt = 7777, k = (id % 3 + 1).toInt)
     else if (id < L.newnewEnd) {
       val pairId = (id - L.crossEnd) / 2
       // fresh bases disjoint from old cids (offset past 5k old clusters)
       mutated(cid = 1000000L + pairId, salt = 100 + (id % 2).toInt, k = (id % 2 + 1).toInt)
     }
-    else if (id < L.deltaNavEnd) NavTemplate
-    else uniqueText(id)
-
-  private def uniqueText(id: Long): String = {
-    val rnd = new scala.util.Random(id * 31)
-    val unique = Array.fill(120)("w" + rnd.nextInt(500000)).mkString(" ")
-    if (id % 10 < 3) BoilerPrefix + " " + unique else unique
-  }
+    else if (id < L.deltaNavEnd) ProbeCorpus.NavTemplate
+    else ProbeCorpus.uniqueText(id)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,14 +89,41 @@ object IncrementalScaleProbe {
     val cutoff = (n - 1) / 10 * 9
     val L = Layout(n, cutoff)
     require(L.deltaNavEnd < n, s"n=$n too small for the delta layout")
+    import graft.queries.SimilarityQueries
 
-    spark.range(0, n, 1, cpus.toInt * 4)
+    // (1) the OLD corpus lands alone — the state a continuously-
+    // ingesting pipeline is in before a batch arrives
+    spark.range(0, cutoff, 1, cpus.toInt * 4)
       .map(id => (id, textOf(id, L)))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    println(s"PROBE incremental corpus written: $n docs, cutoff=$cutoff " +
-      s"(delta=${n - cutoff}: 5000 cross, 2000 newnew, 3000 boilerplate)")
-    val gotCutoff = graft.queries.SimilarityQueries.incrementalCutoff(spark, dir)
+    println(s"PROBE incremental OLD corpus written: $cutoff docs (pinned cutoff=$cutoff)")
+
+    // (2) cold = the old-bands index build alone (the delta slice is
+    // empty pre-append, so this wall isolates the O(N) cost the warm
+    // path amortizes); the ingest pins its own batch boundary
+    val (pairsCold, wCold) = timed(
+      SimilarityQueries.incrementalNeardupAt(spark, dir, cutoff)
+        .select("a", "b").collect())
+    require(pairsCold.isEmpty, "pre-append run emitted pairs with an empty delta")
+    require(SimilarityQueries.nd12IndexIsWarm(spark, dir, cutoff),
+      "old-bands index not committed after the cold build")
+    println(f"PROBE s12 cpus=$cpus index build (old=$cutoff docs) wall=$wCold%.2f")
+
+    // (3) the batch lands as a parquet APPEND — the exact sequence that
+    // invalidated the whole-table-keyed index before the round-5 fix
+    spark.range(cutoff, n, 1, cpus.toInt)
+      .map(id => (id, textOf(id, L)))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    val deltaN = n - cutoff
+    println(s"PROBE delta batch appended: $deltaN docs " +
+      s"(5000 cross, 2000 newnew, 3000 boilerplate)")
+    require(SimilarityQueries.nd12IndexIsWarm(spark, dir, cutoff),
+      "tail append invalidated the old-bands index — warm path unreachable")
+    // post-append, the default id-tail cutoff rule resolves to the same
+    // pinned boundary, so the registered production query is usable as-is
+    val gotCutoff = SimilarityQueries.incrementalCutoff(spark, dir)
     require(gotCutoff == cutoff, s"production cutoff $gotCutoff != layout cutoff $cutoff")
 
     // planted truth (exact Jaccard, same generator, NO LSH): cross pairs
@@ -136,14 +148,15 @@ object IncrementalScaleProbe {
     println(s"PROBE planted truth: ${crossTruth.size} cross pairs, " +
       s"${newnewTruth.size} newnew pairs with exact J >= 0.8")
 
+    // (4) warm batch = the production registered query against the
+    // index that survived the append; two reps for timing stability
     def s12() = timed(SparkEntry.queries("s12_incremental_neardup")(spark, dir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))))
-    val (pairs, wCold) = s12()
-    val (pairsWarm, wWarm) = s12()
-    val deltaN = n - cutoff
-    println(f"PROBE s12 cpus=$cpus n=$n delta=$deltaN cold=$wCold%.2f warm=$wWarm%.2f " +
+    val (pairs, wWarm) = s12()
+    val (pairsWarm2, wWarm2) = s12()
+    println(f"PROBE s12 cpus=$cpus n=$n delta=$deltaN warm=$wWarm%.2f warm2=$wWarm2%.2f " +
       f"pairs=${pairs.length} delta_docs_per_sec_warm=${deltaN / wWarm}%.0f")
-    require(pairs.toSet == pairsWarm.toSet, "cold and warm runs disagree")
+    require(pairs.toSet == pairsWarm2.toSet, "warm reps disagree")
 
     val detected = pairs.toSet
     require(pairs.forall { case (a, b) => a < b && b >= cutoff },
@@ -169,17 +182,7 @@ object IncrementalScaleProbe {
     // ONE component over s12 pairs alone and that component must touch
     // the old giant cluster (representative links)
     val navDelta = (L.newnewEnd until L.deltaNavEnd)
-    val uf = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x; while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
-      var c = x
-      while (uf.getOrElse(c, c) != c) { val nx = uf.getOrElse(c, c); uf(c) = r; c = nx }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    val find = MainUtil.unionFindRoots(pairs)
     val navRoots = navDelta.map(find).toSet
     val linkedToOld = pairs.exists { case (a, b) =>
       a >= L.oldClusterEnd && a < L.navEnd && navDelta.contains(b)

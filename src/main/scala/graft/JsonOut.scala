@@ -46,4 +46,27 @@ object MainUtil {
     if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(deleteRecursively))
     p.delete()
   }
+
+  /** Driver-side union-find over an edge list, returned as the root
+    * function (path-compressed; unions always point the larger root at
+    * the smaller, so a component's root is its minimum member id —
+    * the keeper convention s10 uses). ONE copy for the scale probes and
+    * the s12 spec: the independent ground-truth recompute they all
+    * perform was three hand-maintained twins of this loop.
+    */
+  def unionFindRoots(pairs: Iterable[(Long, Long)]): Long => Long = {
+    val uf = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
+      var c = x
+      while (uf.getOrElse(c, c) != c) { val nx = uf.getOrElse(c, c); uf(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    find
+  }
 }

@@ -120,17 +120,8 @@ class IncrementalNeardupSpec extends SparkSpec {
     // connectivity: old cluster + 6 delta pages form ONE component over
     // (persisted old pairs) U (s12 pairs) — the s10 composition input
     val oldPairs = s01Pairs(dir) // full engine as the old-pairs stand-in
-    val uf = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x; while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
-      var c = x
-      while (uf.getOrElse(c, c) != c) { val n = uf.getOrElse(c, c); uf(c) = r; c = n }
-      r
-    }
-    (oldPairs.filter(_._2 < cutoff) ++ got).foreach { case (a, b, _) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    val find = MainUtil.unionFindRoots(
+      (oldPairs.filter(_._2 < cutoff) ++ got).map(p => (p._1, p._2)))
     val roots = ((0L until 550L) ++ (594L until 600L)).map(find).toSet
     assert(roots.size == 1, s"template cluster fragmented: ${roots.size} components")
   }
@@ -162,22 +153,12 @@ class IncrementalNeardupSpec extends SparkSpec {
       "no delta representative linked to the old twin")
     // the whole delta cluster + old twin is ONE component over s12 pairs
     // alone (cross rep links + delta self-run chain edges)
-    val uf = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x; while (uf.getOrElse(r, r) != r) r = uf.getOrElse(r, r)
-      var c = x
-      while (uf.getOrElse(c, c) != c) { val n = uf.getOrElse(c, c); uf(c) = r; c = n }
-      r
-    }
-    got.foreach { case (a, b, _) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    val find = MainUtil.unionFindRoots(got.map(p => (p._1, p._2)))
     val roots = (Seq(0L) ++ (3591L until 3891L)).map(find).toSet
     assert(roots.size == 1, s"delta template cluster fragmented: ${roots.size} components")
   }
 
-  test("s12 index invalidates when the documents table changes") {
+  test("s12 stays correct when a delta doc is rewritten (delta is always fresh)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_s12_inval").toString
     val filler = (1 to 40).map(i => s"w$i").mkString(" ")
@@ -190,10 +171,49 @@ class IncrementalNeardupSpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     writeDocs(filler) // delta doc 19 duplicates old doc 5
     assert(s12Pairs(dir).map(p => (p._1, p._2)) == Set((5L, 19L)))
-    // rewrite doc 19 with unrelated text: snapshot moves, index rebuilds
+    // rewrite doc 19 with unrelated text: the delta side is re-shingled
+    // on every run (only the OLD slice is indexed), so the result moves
+    // immediately — no index rebuild needed for a delta-only change
     writeDocs((1 to 40).map(i => s"z$i").mkString(" "))
-    assert(s12Pairs(dir).isEmpty, "stale incremental index served after rewrite")
+    assert(s12Pairs(dir).isEmpty, "stale delta result served after rewrite")
     assert(s12Pairs(dir).isEmpty)
+  }
+
+  test("s12 old-bands index survives a tail append; old-slice rewrite invalidates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s12_append").toString
+    def uniq(i: Long, tag: String): String =
+      (1 to 40).map(j => s"$tag${i}_$j").mkString(" ")
+    val dup = (1 to 40).map(i => s"d$i").mkString(" ")
+    // production interface: the ingest pins its own batch boundary, so
+    // the cutoff does NOT move when a batch lands
+    val cutoff = 30L
+    (Seq((5L, dup)) ++ (0L until 35L).filter(_ != 5).map(i => (i, uniq(i, "a"))))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairsAt(): Set[(Long, Long)] =
+      SimilarityQueries.incrementalNeardupAt(spark, dir, cutoff)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt().isEmpty) // builds the old-bands index
+    assert(SimilarityQueries.nd12IndexIsWarm(spark, dir, cutoff))
+    // APPEND an ingest batch (ids 35..39; 37 duplicates old doc 5): the
+    // round-5 review scenario — the index keyed on the whole-table
+    // snapshot made this exact sequence rebuild O(N) every batch
+    (Seq((37L, dup)) ++ Seq(35L, 36L, 38L, 39L).map(i => (i, uniq(i, "b"))))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(SimilarityQueries.nd12IndexIsWarm(spark, dir, cutoff),
+      "tail append invalidated the old-bands index — warm O(delta) path unreachable")
+    assert(pairsAt() == Set((5L, 37L)),
+      "appended batch not deduped against the warm old-bands index")
+    // rewriting a doc INSIDE the old slice must move the slice snapshot
+    (Seq((5L, uniq(5, "z"))) ++ (0L until 40L).filter(_ != 5).map(i =>
+      (i, if (i == 37L) dup else if (i >= 35L) uniq(i, "b") else uniq(i, "a"))))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(!SimilarityQueries.nd12IndexIsWarm(spark, dir, cutoff),
+      "old-slice rewrite left a stale index marked warm")
+    assert(pairsAt().isEmpty) // doc 5's twin text is gone
   }
 
   test("s12 plan shape: delta probe broadcasts; persisted old bands never re-shuffled or re-shingled") {
