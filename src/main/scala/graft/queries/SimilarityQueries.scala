@@ -344,27 +344,46 @@ object SimilarityQueries {
     * the warm O(delta) path would exist only for a byte-identical
     * table — while the production sequence s12 exists for (append a
     * batch, dedup it against the indexed old corpus) paid a full O(N)
-    * re-shingle every batch. The slice terms (count + id-set hash +
-    * content hash over the first 256 docs, every predicate pushed to
-    * the scan) move only when the OLD corpus itself changes; the
-    * whole-table file listing is the MEMO key only, so any file change
-    * re-runs the cheap fingerprint jobs but a pure tail append leaves
-    * the snapshot string — and thus the committed marker — valid.
-    * Documented trade: an in-place rewrite of old rows preserving
-    * count, id set, and the first-256 text sample escapes detection;
-    * catching it exactly would re-read all old text per batch, the
-    * very O(N) cost the index amortizes. The contract is append-only
-    * ingest — the same convention the id-tail cutoff rule assumes.
+    * re-shingle every batch.
+    *
+    * Terms: the slice's logical identity (count + id-set hash) PLUS a
+    * file-status fold over exactly the parquet files that CARRY a
+    * sub-cutoff row (per-file min doc_id from the same single id-column
+    * scan). Any change to old content — wherever it lives, however
+    * performed — must rewrite one of those files (new length/mtime/
+    * name), so the snapshot moves; appended delta-only files never
+    * enter the fold, so a tail append leaves the committed marker
+    * valid. This is strictly stronger than a sampled content hash (an
+    * in-place rewrite of ANY old doc invalidates, not just one inside
+    * the sample window) and cheaper: one doc_id-only scan, no text
+    * read. Conservative edge: rewriting a MIXED file (old + delta rows
+    * written together) for a delta-side reason rebuilds unnecessarily —
+    * correctness-safe. The whole-table file listing is the MEMO key
+    * only: any file change re-runs the cheap fingerprint job; only a
+    * change to old-bearing files changes the snapshot string.
     */
   private def docsSliceSnapshot(dir: String, cutoff: Long)(implicit s: SparkSession): String = {
     val fileFp = fileStatusFp(dir, "documents.parquet")
     snapshotCache.getOrElseUpdate((s"$dir#documents<$cutoff", fileFp), {
-      val fpRow = docs(dir).filter(col("doc_id") < cutoff).agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(hash(col("doc_id"))), lit(0L)).as("idsum")).head()
-      val contentFp = docs(dir).filter(col("doc_id") < math.min(256L, cutoff))
-        .agg(coalesce(sum(hash(col("text"))), lit(0L))).head().getLong(0)
-      (fpRow.getLong(0), s"${fpRow.getLong(0)}-${fpRow.getLong(1)}-c$contentFp")
+      val perFile = docs(dir)
+        .select(input_file_name().as("f"), col("doc_id"))
+        .groupBy("f").agg(
+          min(col("doc_id")).as("minId"),
+          count(when(col("doc_id") < cutoff, 1)).as("n"),
+          coalesce(sum(when(col("doc_id") < cutoff, hash(col("doc_id")))), lit(0L))
+            .as("idsum"))
+        .collect()
+      def norm(p: String): String =
+        new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val n = perFile.map(_.getLong(2)).sum
+      val idsum = perFile.map(_.getLong(3)).sum
+      val oldFiles = perFile.filter(_.getLong(1) < cutoff).map(r => norm(r.getString(0))).toSet
+      val oldFp = fileStatusList(dir, "documents.parquet")
+        .filter { case (p, _, _) => oldFiles(norm(p)) }
+        .foldLeft(17L) { case (acc, (p, len, mtime)) =>
+          31L * (31L * (31L * acc + p.hashCode) + len) + mtime
+        }
+      (n, s"$n-$idsum-of$oldFp")
     })._2
   }
 
@@ -470,9 +489,16 @@ object SimilarityQueries {
   private val incrementalNeardup: Q = (s, dir) => {
     // batch boundary: caller-supplied (a production ingest pins its own
     // cutoff so tail appends keep the old-bands index warm), defaulting
-    // to the deterministic id-tail convention the oracle pins
-    val cutoff = sys.env.get("SPARK_GRAFT_S12_CUTOFF").map(_.toLong)
-      .getOrElse(incrementalCutoff(s, dir))
+    // to the deterministic id-tail convention the oracle pins; validated
+    // eagerly so a stale/typo'd shell export fails with the knob's name
+    // instead of a bare parse error (or a silently empty old slice)
+    // from deep inside the query
+    val cutoff = sys.env.get("SPARK_GRAFT_S12_CUTOFF").map { v =>
+      val c = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_S12_CUTOFF must be a non-negative long, got '$v'"))
+      require(c >= 0, s"SPARK_GRAFT_S12_CUTOFF must be >= 0, got $c")
+      c
+    }.getOrElse(incrementalCutoff(s, dir))
     incrementalNeardupAt(s, dir, cutoff)
   }
 
@@ -826,22 +852,8 @@ object SimilarityQueries {
     * hash would re-scan all embeddings per query — the very cost a
     * persisted index exists to amortize.
     */
-  private def embSnapshot(dir: String)(implicit s: SparkSession): (Long, String) = {
-    // memoized on (dir, file-status fp): four ANN-family queries in one
-    // Verify/Bench pass would otherwise each re-run the two fingerprint
-    // aggregation jobs over an unchanged table. The metadata-only
-    // listing ALWAYS runs and gates reuse — any rewrite of the table
-    // changes the file fp and forces fresh aggregation jobs.
-    val fileFp = fileStatusFp(dir, "embeddings.parquet")
-    snapshotCache.getOrElseUpdate((s"$dir#embeddings", fileFp), {
-      val fpRow = embs(dir).agg(
-        count(lit(1)).as("n"), sum(hash(col("vec_id"))).as("idsum")).head()
-      val n = fpRow.getLong(0)
-      val contentFp = embs(dir).filter(col("vec_id") < 256)
-        .agg(coalesce(sum(hash(col("embedding"))), lit(0L))).head().getLong(0)
-      (n, s"$n-${fpRow.getLong(1)}-c$contentFp-f$fileFp")
-    })
-  }
+  private def embSnapshot(dir: String)(implicit s: SparkSession): (Long, String) =
+    tableSnapshot(dir, "embeddings.parquet", embs(dir), "vec_id", "embedding")
 
   /** Documents-table twin of [[embSnapshot]], keying s01's persisted
     * pair table: count + doc_id-set hash + a content hash over the
@@ -850,14 +862,30 @@ object SimilarityQueries {
     * rewrite; the count/id/content terms make the snapshot string
     * meaningful across roots and survive filesystems with coarse mtime.
     */
-  private def docsSnapshot(dir: String)(implicit s: SparkSession): (Long, String) = {
-    val fileFp = fileStatusFp(dir, "documents.parquet")
-    snapshotCache.getOrElseUpdate((s"$dir#documents", fileFp), {
-      val fpRow = docs(dir).agg(
-        count(lit(1)).as("n"), sum(hash(col("doc_id"))).as("idsum")).head()
+  private def docsSnapshot(dir: String)(implicit s: SparkSession): (Long, String) =
+    tableSnapshot(dir, "documents.parquet", docs(dir), "doc_id", "text")
+
+  /** ONE whole-table fingerprint recipe behind [[embSnapshot]] and
+    * [[docsSnapshot]] (they were hand-maintained twins — a recipe tweak
+    * reaching one copy would silently diverge staleness detection
+    * between the s01 pair table and the ANN indexes): count + id-set
+    * hash + content hash over ids < 256 (pushdown-pruned sample) +
+    * `-f` file-status fold. Memoized on (table-tagged dir, file fp):
+    * several index-backed queries in one Verify/Bench pass would
+    * otherwise each re-run the fingerprint aggregation jobs over an
+    * unchanged table; the metadata-only listing ALWAYS runs and gates
+    * reuse — any rewrite of the table changes the file fp and forces
+    * fresh aggregation jobs.
+    */
+  private def tableSnapshot(dir: String, table: String, df: DataFrame,
+      idCol: String, contentCol: String)(implicit s: SparkSession): (Long, String) = {
+    val fileFp = fileStatusFp(dir, table)
+    snapshotCache.getOrElseUpdate((s"$dir#$table", fileFp), {
+      val fpRow = df.agg(
+        count(lit(1)).as("n"), sum(hash(col(idCol))).as("idsum")).head()
       val n = fpRow.getLong(0)
-      val contentFp = docs(dir).filter(col("doc_id") < 256)
-        .agg(coalesce(sum(hash(col("text"))), lit(0L))).head().getLong(0)
+      val contentFp = df.filter(col(idCol) < 256)
+        .agg(coalesce(sum(hash(col(contentCol))), lit(0L))).head().getLong(0)
       (n, s"$n-${fpRow.getLong(1)}-c$contentFp-f$fileFp")
     })
   }
@@ -877,7 +905,17 @@ object SimilarityQueries {
     * snapshot id (round-4 ADVICE #4); walking to the part files also
     * future-proofs the staleness gate for partitioned source tables.
     */
-  private[graft] def fileStatusFp(dir: String, table: String)(implicit s: SparkSession): Long = {
+  private[graft] def fileStatusFp(dir: String, table: String)(implicit s: SparkSession): Long =
+    fileStatusList(dir, table).foldLeft(17L) { case (acc, (path, len, mtime)) =>
+      31L * (31L * (31L * acc + path.hashCode) + len) + mtime
+    }
+
+  /** The sorted (path, length, mtime) listing [[fileStatusFp]] folds —
+    * exposed separately so [[docsSliceSnapshot]] can fold the subset of
+    * files that carry old-slice rows.
+    */
+  private def fileStatusList(dir: String, table: String)(
+      implicit s: SparkSession): Seq[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
@@ -902,9 +940,7 @@ object SimilarityQueries {
       val st = fs.getFileStatus(p)
       files += ((st.getPath.toString, st.getLen, st.getModificationTime))
     }
-    files.sortBy(_._1).foldLeft(17L) { case (acc, (path, len, mtime)) =>
-      31L * (31L * (31L * acc + path.hashCode) + len) + mtime
-    }
+    files.sortBy(_._1).toSeq
   }
 
   /** Human-readable tag + a hash of the RAW dir string: the readable

@@ -216,6 +216,37 @@ class IncrementalNeardupSpec extends SparkSpec {
     assert(pairsAt().isEmpty) // doc 5's twin text is gone
   }
 
+  test("s12 index invalidates on an id/count-preserving rewrite of an old doc past any sample window") {
+    import spark.implicits._
+    // the round-5 review scenario: an in-place content correction of an
+    // old doc (here id 280, beyond a first-256 content sample) that
+    // preserves count and the id set. The file-level slice guard must
+    // invalidate; a stale index would silently MISS the new pair (the
+    // candidate never forms, and verification can only drop false
+    // positives, never restore missed candidates).
+    val dir = java.nio.file.Files.createTempDirectory("graft_s12_oldrw").toString
+    def uniq(i: Long, tag: String): String =
+      (1 to 40).map(j => s"$tag${i}_$j").mkString(" ")
+    val cutoff = 300L
+    def writeAll(doc280: String): Unit =
+      (0L until 310L).map(i => (i, if (i == 280L) doc280 else uniq(i, "a")))
+        .toDF("doc_id", "text").coalesce(2)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairsAt(): Set[(Long, Long)] =
+      SimilarityQueries.incrementalNeardupAt(spark, dir, cutoff)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    writeAll(uniq(280L, "v1"))
+    assert(pairsAt().isEmpty) // builds the index; nothing matches yet
+    assert(SimilarityQueries.nd12IndexIsWarm(spark, dir, cutoff))
+    // rewrite doc 280 to duplicate delta doc 305's text — count and id
+    // set unchanged, content changed outside any sampled prefix
+    writeAll(uniq(305L, "a"))
+    assert(!SimilarityQueries.nd12IndexIsWarm(spark, dir, cutoff),
+      "old-doc rewrite past the sample window left a stale index marked warm")
+    assert(pairsAt() == Set((280L, 305L)),
+      "rewritten old doc's new near-dup went undetected (stale band rows)")
+  }
+
   test("s12 plan shape: delta probe broadcasts; persisted old bands never re-shuffled or re-shingled") {
     // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect),
     // so build this one plan with AQE off to walk the physical tree
