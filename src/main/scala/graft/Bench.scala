@@ -28,7 +28,8 @@ object Bench {
     "s01_minhash_neardup", "s02_simhash_neardup", "s03_ann_cosine_topk",
     "s04_ann_lsh_topk", "s05_multimodal_decode", "s06_embedding_neardup",
     "s07_ann_ivf_topk", "s08_frame_sample", "s09_ann_sq8_rerank",
-    "s10_dedup_keeper", "s11_cluster_stats", "s12_incremental_neardup")
+    "s10_dedup_keeper", "s11_cluster_stats", "s12_incremental_neardup",
+    "s13_incremental_keeper")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

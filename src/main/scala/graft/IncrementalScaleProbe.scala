@@ -192,12 +192,54 @@ object IncrementalScaleProbe {
     require(navRoots.size == 1 && linkedToOld,
       "delta boilerplate pages failed to connect through representatives")
 
-    // the cost the incremental path replaces: a full s01 rebuild over
-    // the same corpus (cold — fresh pair-table stage for this snapshot)
+    // s13: the batch's keeper update. First call builds the persisted
+    // old-keeper table from the committed bands (no re-shingle); second
+    // is the steady-state warm batch (s12 delta run + quotient-graph CC
+    // + relabel attach).
+    def s13() = timed(
+      SimilarityQueries.incrementalKeeperAt(spark, dir, cutoff)
+        .filter(col("is_dropped")).count())
+    val (_, wK13Build) = s13()
+    require(SimilarityQueries.nd13KeepersAreWarm(spark, dir, cutoff),
+      "old-keeper table not committed after the build run")
+    val (nDropped, wK13) = s13()
+    println(f"PROBE s13 cpus=$cpus keeper_build_run=$wK13Build%.2f warm=$wK13%.2f " +
+      s"dropped=$nDropped")
+
+    // planted keeper expectations for every s12-linked delta doc (old
+    // clusters are verified-Jaccard isolated, so their keepers are
+    // analytic): cross dup of old cluster k -> 4k; delta boilerplate ->
+    // the old giant cluster's min; newnew pair -> its own min
+    val expKeeper = scala.collection.mutable.Map.empty[Long, Long]
+    pairs.foreach { case (a, b) =>
+      if (b < L.crossEnd) { if (a < cutoff) expKeeper(b) = 4L * (b - cutoff) }
+      else if (b >= L.newnewEnd && b < L.deltaNavEnd) expKeeper(b) = L.oldClusterEnd
+    }
+    (0 until 1000).foreach { p =>
+      val a = L.crossEnd + 2 * p
+      if (detected((a, a + 1))) { expKeeper(a) = a; expKeeper(a + 1) = a }
+    }
+    val expDf = expKeeper.toSeq.toDF("doc_id", "exp_keeper")
+    val k13Mismatch = SimilarityQueries.incrementalKeeperAt(spark, dir, cutoff)
+      .join(expDf, Seq("doc_id"))
+      .filter(col("keeper_doc_id") =!= col("exp_keeper")).count()
+    println(s"PROBE s13 planted keeper check: $k13Mismatch mismatches " +
+      s"over ${expKeeper.size} linked delta docs")
+    require(k13Mismatch == 0, "s13 keepers diverge from planted expectations")
+
+    // the per-batch cost the incremental pair stage replaces: a full s01
+    // rebuild over the appended corpus (cold — fresh pair-table stage for
+    // this snapshot); s10 on top of the now-warm pair table isolates the
+    // full-graph CC + attach the s13 quotient formulation avoids
     val (_, wFull) = timed(
       SparkEntry.queries("s01_minhash_neardup")(spark, dir).count())
     println(f"PROBE s01 full rebuild cpus=$cpus n=$n wall=$wFull%.2f " +
       f"-> warm-incremental speedup ${wFull / wWarm}%.1fx")
+    val (_, wS10) = timed(
+      SparkEntry.queries("s10_dedup_keeper")(spark, dir).filter(col("is_dropped")).count())
+    println(f"PROBE s10 full last mile (warm pairs) cpus=$cpus wall=$wS10%.2f " +
+      f"-> batch total full=${wFull + wS10}%.2f vs incremental=${wWarm + wK13}%.2f " +
+      f"(${(wFull + wS10) / (wWarm + wK13)}%.1fx)")
     spark.stop()
   }
 }

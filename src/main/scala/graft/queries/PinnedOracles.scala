@@ -34,7 +34,7 @@ object PinnedOracles {
     "s01_minhash_neardup", "s02_simhash_neardup", "s04_ann_lsh_topk",
     "s05_multimodal_decode", "s06_embedding_neardup", "s07_ann_ivf_topk",
     "s08_frame_sample", "s09_ann_sq8_rerank", "s10_dedup_keeper",
-    "s11_cluster_stats", "s12_incremental_neardup",
+    "s11_cluster_stats", "s12_incremental_neardup", "s13_incremental_keeper",
     "t07_fingerprint", "t18_seq_pack")
 
   /** The s-family and t07 pins encode OUTPUTS OF THE sf0.01 TABLES — against any

@@ -486,21 +486,24 @@ object SimilarityQueries {
     */
   private val Nd12BroadcastMaxDelta = 5000000L
 
-  private val incrementalNeardup: Q = (s, dir) => {
-    // batch boundary: caller-supplied (a production ingest pins its own
-    // cutoff so tail appends keep the old-bands index warm), defaulting
-    // to the deterministic id-tail convention the oracle pins; validated
-    // eagerly so a stale/typo'd shell export fails with the knob's name
-    // instead of a bare parse error (or a silently empty old slice)
-    // from deep inside the query
-    val cutoff = sys.env.get("SPARK_GRAFT_S12_CUTOFF").map { v =>
+  /** Batch boundary shared by the incremental ops (s12 pairs, s13
+    * keepers — the composition runs at ONE cutoff): caller-supplied (a
+    * production ingest pins its own cutoff so tail appends keep the
+    * old-side indexes warm), defaulting to the deterministic id-tail
+    * convention the oracle pins; validated eagerly so a stale/typo'd
+    * shell export fails with the knob's name instead of a bare parse
+    * error (or a silently empty old slice) from deep inside the query.
+    */
+  private def batchCutoff(s: SparkSession, dir: String): Long =
+    sys.env.get("SPARK_GRAFT_S12_CUTOFF").map { v =>
       val c = v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"SPARK_GRAFT_S12_CUTOFF must be a non-negative long, got '$v'"))
       require(c >= 0, s"SPARK_GRAFT_S12_CUTOFF must be >= 0, got $c")
       c
     }.getOrElse(incrementalCutoff(s, dir))
-    incrementalNeardupAt(s, dir, cutoff)
-  }
+
+  private val incrementalNeardup: Q = (s, dir) =>
+    incrementalNeardupAt(s, dir, batchCutoff(s, dir))
 
   private[graft] def incrementalNeardupAt(s: SparkSession, dir: String,
       cutoff: Long): DataFrame = {
@@ -548,6 +551,99 @@ object SimilarityQueries {
     val newnew = pairsFromSized(dSized, delta, Nd12Cap)
     cross.unionByName(newnew).orderBy("a", "b")
   }
+
+  // ---- s13: incremental dedup keeper (the last mile, per batch) ----
+
+  /** The OLD corpus's keeper table — (doc_id, keeper_doc_id) for every
+    * PAIRED old doc (metadata-sized; unpaired docs are implicit
+    * identity), persisted once per old-slice snapshot like the s12
+    * bands index it is built FROM: the pair build reads the committed
+    * band rows back (`n_old` is the bucket size the pair engine
+    * windows for), so it re-shingles nothing — the only per-build
+    * compute is the banded self-join, the giant-chain signature
+    * recompute (confined to giant-bucket members) and the candidate
+    * verification text fetch. Same s01 semantics on the slice.
+    */
+  private def nd13OldKeepers(s: SparkSession, dir: String, cutoff: Long): DataFrame = {
+    implicit val sp = s
+    import sp.implicits._
+    val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
+    markedStage(s, ck, s"nd13_keep_${dirTag(dir)}", s"${nd12Snap(dir, cutoff)}-keepv1") {
+      val old = docs(dir).filter(col("doc_id") < cutoff)
+        .select("doc_id", "text").as[(Long, String)]
+      val sized = nd12Bands(s, dir, cutoff)
+        .select(col("doc_id"), col("band"), col("bkey"), col("n_old").as("__bsz"))
+      pairedKeepers(pairsFromSized(sized, old, Nd12Cap))
+    }
+  }
+
+  /** Spec hook, twin of [[nd12IndexIsWarm]]: is the s13 old-keeper
+    * table committed and valid for (dir, cutoff) without building it?
+    */
+  private[graft] def nd13KeepersAreWarm(s: SparkSession, dir: String, cutoff: Long): Boolean = {
+    implicit val sp = s
+    val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
+    ck.committedRowsFor(s, s"nd13_keep_${dirTag(dir)}",
+      s"${nd12Snap(dir, cutoff)}-keepv1").nonEmpty
+  }
+
+  /** s13: INCREMENTAL dedup keeper — per-batch keeper assignments
+    * WITHOUT re-running connected components over the full corpus's
+    * pair graph. s10 is the batch last mile (all pairs -> CC -> min
+    * keeper); in a continuously-ingesting pipeline its CC input grows
+    * with the corpus while each batch only adds delta-touching edges.
+    * The incremental formulation contracts every old component to its
+    * persisted keeper (a quotient graph: connectivity THROUGH old docs
+    * is inside the contracted nodes) and runs CC only over the s12
+    * delta pairs with old endpoints mapped to their keepers — a graph
+    * bounded by the batch's pair count, not the corpus's. The component
+    * minimum is preserved by contraction: an old keeper IS its
+    * component's numeric min, so min(mapped nodes) = min(all original
+    * members). Output = s10's exact schema over ALL docs; equality with
+    * full s10 holds wherever s12 equals filtered s01 (same giant-bucket
+    * caveat, spec-asserted at sf scale).
+    *
+    * What a warm batch pays: the s12 delta run (its own O(delta)
+    * contract), one read of the two persisted metadata-sized tables,
+    * CC on the batch-sized quotient graph, and one O(N) columnar
+    * doc_id scan to emit the full assignment table — no shingling, no
+    * full-graph CC, no corpus shuffle (the relabel map broadcasts).
+    */
+  private[graft] def incrementalKeeperAt(s: SparkSession, dir: String,
+      cutoff: Long): DataFrame = {
+    implicit val sp = s
+    val oldKeep = nd13OldKeepers(s, dir, cutoff)
+    // pairs touch the delta by contract (a < b, delta = id tail, so
+    // b >= cutoff always; only a can be an old doc needing contraction)
+    val mapped = incrementalNeardupAt(s, dir, cutoff)
+      .select("a", "b")
+      .join(oldKeep.select(col("doc_id").as("a"), col("keeper_doc_id").as("__ka")),
+        Seq("a"), "left")
+      .select(coalesce(col("__ka"), col("a")).as("a"), col("b"))
+    // quotient-graph CC; materialize the (node -> new keeper) map so the
+    // two broadcast builds below replay a local read, not the CC jobs
+    val nodeKeeper = pairedKeepers(mapped)
+      .select(col("doc_id").as("__node"), col("keeper_doc_id").as("__nk"))
+      .localCheckpoint(true)
+    val oldOut = docs(dir).filter(col("doc_id") < cutoff).select("doc_id")
+      .join(oldKeep.withColumnRenamed("keeper_doc_id", "__k0"), Seq("doc_id"), "left")
+      // __base covers all three old cases in one expression: paired ->
+      // old keeper (relabeled below if its component merged), unpaired
+      // delta-adjacent -> itself (a node in the quotient graph),
+      // untouched -> itself
+      .withColumn("__base", coalesce(col("__k0"), col("doc_id")))
+      .join(broadcast(nodeKeeper.withColumnRenamed("__node", "__base")), Seq("__base"), "left")
+      .select(col("doc_id"), coalesce(col("__nk"), col("__base")).as("keeper_doc_id"))
+    val deltaOut = docs(dir).filter(col("doc_id") >= cutoff).select("doc_id")
+      .join(broadcast(nodeKeeper.withColumnRenamed("__node", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__nk"), col("doc_id")).as("keeper_doc_id"))
+    oldOut.unionByName(deltaOut)
+      .withColumn("is_dropped", col("doc_id") =!= col("keeper_doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalKeeper: Q = (s, dir) =>
+    incrementalKeeperAt(s, dir, batchCutoff(s, dir))
 
   /** 64-bit SimHash of whitespace words — delegates to the single
     * implementation in [[graft.functions.SimHash64.hash]] so the typed
@@ -1492,7 +1588,23 @@ object SimilarityQueries {
     * doc. Public so the spec can drive it with extreme ids (negative,
     * > 10^12) that the sf corpora never contain.
     */
-  def keeperAssignments(pairs: DataFrame, docIds: DataFrame): DataFrame = {
+  def keeperAssignments(pairs: DataFrame, docIds: DataFrame): DataFrame =
+    docIds.select(col("doc_id"))
+      .join(pairedKeepers(pairs), Seq("doc_id"), "left")
+      .withColumn("keeper_doc_id", coalesce(col("keeper_doc_id"), col("doc_id")))
+      .withColumn("is_dropped", col("doc_id") =!= col("keeper_doc_id"))
+      .orderBy("doc_id")
+
+  /** (doc_id, keeper_doc_id) for every doc that appears in `pairs`,
+    * keeper = NUMERIC component minimum (the explicit min-agg guards the
+    * full signed Long range — the CC canonical id is a string min over
+    * "d<id>" labels, which is not numeric order). The paired-docs core
+    * of [[keeperAssignments]], exposed separately because it is
+    * metadata-sized (near-dup pairs, not the corpus): s13 persists it
+    * for the old slice and reuses it to collapse old components to
+    * single nodes.
+    */
+  def pairedKeepers(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(concat(lit("d"), col("a")).as("src"),
       concat(lit("d"), col("b")).as("dst"))
     val cc = graft.stages.Canonicalize.connectedComponents(edges)
@@ -1500,13 +1612,8 @@ object SimilarityQueries {
       substring(col("id"), 2, 25).cast("long").as("doc_id"), col("canonicalId"))
     val keepers = labeled.groupBy("canonicalId")
       .agg(min("doc_id").as("keeper_doc_id"))
-    val clustered = labeled.join(keepers, Seq("canonicalId"))
+    labeled.join(keepers, Seq("canonicalId"))
       .select("doc_id", "keeper_doc_id")
-    docIds.select(col("doc_id"))
-      .join(clustered, Seq("doc_id"), "left")
-      .withColumn("keeper_doc_id", coalesce(col("keeper_doc_id"), col("doc_id")))
-      .withColumn("is_dropped", col("doc_id") =!= col("keeper_doc_id"))
-      .orderBy("doc_id")
   }
 
   private val dedupKeeper: Q = (s, dir) => {
@@ -1568,7 +1675,8 @@ object SimilarityQueries {
     "s09_ann_sq8_rerank" -> annSq8,
     "s10_dedup_keeper" -> dedupKeeper,
     "s11_cluster_stats" -> clusterStats,
-    "s12_incremental_neardup" -> incrementalNeardup)
+    "s12_incremental_neardup" -> incrementalNeardup,
+    "s13_incremental_keeper" -> incrementalKeeper)
 
   val oracle: Map[String, String] = Map(
     "s03_ann_cosine_topk" ->
