@@ -237,9 +237,13 @@ object IncrementalScaleProbe {
       f"-> warm-incremental speedup ${wFull / wWarm}%.1fx")
     val (_, wS10) = timed(
       SparkEntry.queries("s10_dedup_keeper")(spark, dir).filter(col("is_dropped")).count())
+    // the incremental batch total is wK13 ALONE: s13 computes the s12
+    // delta pairs inside itself, so a batch that needs pairs + keepers
+    // runs one query (summing wWarm + wK13 would double-count the delta
+    // pair work)
     println(f"PROBE s10 full last mile (warm pairs) cpus=$cpus wall=$wS10%.2f " +
-      f"-> batch total full=${wFull + wS10}%.2f vs incremental=${wWarm + wK13}%.2f " +
-      f"(${(wFull + wS10) / (wWarm + wK13)}%.1fx)")
+      f"-> batch total full=${wFull + wS10}%.2f vs incremental=$wK13%.2f " +
+      f"(${(wFull + wS10) / wK13}%.1fx)")
     spark.stop()
   }
 }
