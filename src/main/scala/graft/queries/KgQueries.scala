@@ -271,14 +271,16 @@ object KgQueries {
   }
 
   /** The distributed connected-components path under the driver
-    * contract: a deterministic synthetic entity graph ABOVE the
-    * union-find cutoff (112,081 edges > 100,000), so
-    * Canonicalize.connectedComponents MUST take the label-propagation +
-    * pointer-jumping route (the 100 TB path — previously exercised only
-    * in specs). 120,000 vertices in 7,919 chain components (vertex i
-    * links to i+7919); canonical id = component min by construction.
-    * Output: component-size histogram + an order-independent hash of
-    * the canonical ids per size — 2 rows, VALUES-pinned.
+    * contract: a deterministic synthetic 112,081-edge entity graph run
+    * with smallCutoff = 0 so Canonicalize.connectedComponents MUST take
+    * the label-propagation + pointer-jumping route (the 100 TB path —
+    * otherwise exercised only in specs; the DEFAULT cutoff deliberately
+    * sits above this graph since round 5, because the distributed
+    * path's fixed per-round cost only amortizes on much larger graphs).
+    * 120,000 vertices in 7,919 chain components (vertex i links to
+    * i+7919); canonical id = component min by construction. Output:
+    * component-size histogram + an order-independent hash of the
+    * canonical ids per size — 2 rows, VALUES-pinned.
     */
   private val kgCcComponents: Q = (s, _) => {
     import s.implicits._
@@ -287,7 +289,7 @@ object KgQueries {
     def vname(c: org.apache.spark.sql.Column) = format_string("v%06d", c)
     val edges = s.range(0L, nVerts - comps, 1L, 8)
       .select(vname(col("id")).as("src"), vname(col("id") + comps).as("dst"))
-    val cc = Canonicalize.connectedComponents(edges)
+    val cc = Canonicalize.connectedComponents(edges, smallCutoff = 0)
     cc.groupBy("canonicalId").agg(count(lit(1)).as("size"))
       .groupBy("size")
       .agg(count(lit(1)).as("n_components"),

@@ -23,7 +23,23 @@ import scala.collection.mutable
   */
 object Canonicalize {
 
-  val DefaultSmallCutoff = 100000L
+  /** Crossover between the driver union-find and distributed label
+    * propagation, in edges. The distributed path pays a FIXED
+    * orchestration cost that cores cannot shrink — one shuffle + a
+    * count + a localCheckpoint per round, ~10-15 rounds — measured at
+    * 19-22 s for a 132k-edge graph at BOTH local[8] and local[32]
+    * (IncrementalScaleProbe, BASELINE round-5), while the driver
+    * union-find resolves the same graph in under a second. 2M string
+    * edges collect to a few hundred MB transient driver memory (two
+    * ~15-char ids per edge plus one HashMap entry per vertex) — well
+    * inside any driver sized for Spark work — so the crossover sits
+    * where the distributed path's fixed cost is genuinely amortized,
+    * not where the driver first CAN hand off. Above it, label-prop +
+    * pointer jumping is the only shape that works at 100 TB pair
+    * graphs; both paths are value-equal (spec-asserted, and kg15 pins
+    * the distributed path under the driver oracle via smallCutoff = 0).
+    */
+  val DefaultSmallCutoff = 2000000L
 
   /** @param edges (src, dst) undirected string edges
     * @return (id, canonicalId) for every vertex appearing in edges
