@@ -220,10 +220,15 @@ object IncrementalScaleProbe {
       if (detected((a, a + 1))) { expKeeper(a) = a; expKeeper(a + 1) = a }
     }
     val expDf = expKeeper.toSeq.toDF("doc_id", "exp_keeper")
-    val k13Mismatch = SimilarityQueries.incrementalKeeperAt(spark, dir, cutoff)
-      .join(expDf, Seq("doc_id"))
-      .filter(col("keeper_doc_id") =!= col("exp_keeper")).count()
-    println(s"PROBE s13 planted keeper check: $k13Mismatch mismatches " +
+    // LEFT join from the expectations: a doc missing from the s13
+    // output entirely must count as a failure, not silently shrink the
+    // checked set (an inner join would pass on an incomplete table)
+    val k13Mismatch = expDf
+      .join(SimilarityQueries.incrementalKeeperAt(spark, dir, cutoff),
+        Seq("doc_id"), "left")
+      .filter(col("keeper_doc_id").isNull ||
+        col("keeper_doc_id") =!= col("exp_keeper")).count()
+    println(s"PROBE s13 planted keeper check: $k13Mismatch mismatches/missing " +
       s"over ${expKeeper.size} linked delta docs")
     require(k13Mismatch == 0, "s13 keepers diverge from planted expectations")
 

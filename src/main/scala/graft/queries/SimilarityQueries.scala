@@ -378,11 +378,8 @@ object SimilarityQueries {
       val n = perFile.map(_.getLong(2)).sum
       val idsum = perFile.map(_.getLong(3)).sum
       val oldFiles = perFile.filter(_.getLong(1) < cutoff).map(r => norm(r.getString(0))).toSet
-      val oldFp = fileStatusList(dir, "documents.parquet")
-        .filter { case (p, _, _) => oldFiles(norm(p)) }
-        .foldLeft(17L) { case (acc, (p, len, mtime)) =>
-          31L * (31L * (31L * acc + p.hashCode) + len) + mtime
-        }
+      val oldFp = foldStatuses(fileStatusList(dir, "documents.parquet")
+        .filter { case (p, _, _) => oldFiles(norm(p)) })
       (n, s"$n-$idsum-of$oldFp")
     })._2
   }
@@ -977,8 +974,11 @@ object SimilarityQueries {
       idCol: String, contentCol: String)(implicit s: SparkSession): (Long, String) = {
     val fileFp = fileStatusFp(dir, table)
     snapshotCache.getOrElseUpdate((s"$dir#$table", fileFp), {
+      // coalesce: a present-but-empty table fingerprints as empty
+      // instead of NPE-ing on a NULL sum
       val fpRow = df.agg(
-        count(lit(1)).as("n"), sum(hash(col(idCol))).as("idsum")).head()
+        count(lit(1)).as("n"),
+        coalesce(sum(hash(col(idCol))), lit(0L)).as("idsum")).head()
       val n = fpRow.getLong(0)
       val contentFp = df.filter(col(idCol) < 256)
         .agg(coalesce(sum(hash(col(contentCol))), lit(0L))).head().getLong(0)
@@ -1002,7 +1002,14 @@ object SimilarityQueries {
     * future-proofs the staleness gate for partitioned source tables.
     */
   private[graft] def fileStatusFp(dir: String, table: String)(implicit s: SparkSession): Long =
-    fileStatusList(dir, table).foldLeft(17L) { case (acc, (path, len, mtime)) =>
+    foldStatuses(fileStatusList(dir, table))
+
+  /** ONE fold recipe over (path, len, mtime) listings — shared by the
+    * whole-table fingerprint and the old-slice subset fold so the two
+    * cannot drift on the hash recipe.
+    */
+  private def foldStatuses(files: Seq[(String, Long, Long)]): Long =
+    files.foldLeft(17L) { case (acc, (path, len, mtime)) =>
       31L * (31L * (31L * acc + path.hashCode) + len) + mtime
     }
 

@@ -24,22 +24,31 @@ import scala.collection.mutable
 object Canonicalize {
 
   /** Crossover between the driver union-find and distributed label
-    * propagation, in edges. The distributed path pays a FIXED
-    * orchestration cost that cores cannot shrink — one shuffle + a
-    * count + a localCheckpoint per round, ~10-15 rounds — measured at
-    * 19-22 s for a 132k-edge graph at BOTH local[8] and local[32]
-    * (IncrementalScaleProbe, BASELINE round-5), while the driver
-    * union-find resolves the same graph in under a second. 2M string
-    * edges collect to a few hundred MB transient driver memory (two
-    * ~15-char ids per edge plus one HashMap entry per vertex) — well
-    * inside any driver sized for Spark work — so the crossover sits
-    * where the distributed path's fixed cost is genuinely amortized,
-    * not where the driver first CAN hand off. Above it, label-prop +
+    * propagation, in edges — MEASURED, not estimated, by
+    * [[graft.CcCrossoverProbe]] on the worst-case shape for both sides
+    * (all-distinct string vertices in 1,000 long chains; local[32]):
+    *
+    *   edges   union-find wall / driver-heap peak   label-prop wall
+    *   132k    2.6 s / +0.9 GB                      14.8 s
+    *   500k    2.6 s / +2.4 GB                      14.2 s
+    *   1M      4.9 s / +4.4 GB                      21.1 s
+    *   2M     10.3 s / +5.0 GB                      37.1 s
+    *
+    * The distributed path pays a fixed per-round orchestration cost
+    * (shuffle + count + localCheckpoint, ~10-15 rounds) that cores
+    * cannot shrink — it was taking 19-22 s on the dedup probes' mid-size
+    * 132k-edge pair graph at BOTH local[8] and local[32] before round 5
+    * raised this constant from 100k. The ceiling on raising it further
+    * is driver ALLOCATION, not wall: the collect + HashMap + result
+    * materialization peak at gigabytes well before the union-find loses
+    * on time (table above), so the default stops at 500k (~2.4 GB
+    * transient worst-case — sized for a normal driver; pass smallCutoff
+    * explicitly for a beefier or tighter one). Above it, label-prop +
     * pointer jumping is the only shape that works at 100 TB pair
     * graphs; both paths are value-equal (spec-asserted, and kg15 pins
     * the distributed path under the driver oracle via smallCutoff = 0).
     */
-  val DefaultSmallCutoff = 2000000L
+  val DefaultSmallCutoff = 500000L
 
   /** @param edges (src, dst) undirected string edges
     * @return (id, canonicalId) for every vertex appearing in edges
