@@ -24,7 +24,7 @@ object Bench {
     "q11_events_json_hourly", "q13_rollup", "q15_asof_join", "q17_sessionize",
     "t01_dedup_exact", "t02_token_count", "t03_quality_score", "t04_lang_id",
     "t06_bpe_tokens", "t08_repetition_ratio", "t09_train_split", "t12_redact",
-    "t15_contamination", "t17_dup_spans", "t18_seq_pack",
+    "t15_contamination", "t17_dup_spans", "t18_seq_pack", "t19_span_removal",
     "s01_minhash_neardup", "s02_simhash_neardup", "s03_ann_cosine_topk",
     "s04_ann_lsh_topk", "s05_multimodal_decode", "s06_embedding_neardup",
     "s07_ann_ivf_topk", "s08_frame_sample", "s09_ann_sq8_rerank",

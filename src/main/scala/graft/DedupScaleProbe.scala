@@ -190,6 +190,27 @@ object DedupScaleProbe {
       s"$uniqueFlagged pure-unique docs falsely flagged")
     require(navFlagged == navNonEval, "t15 missed contaminated boilerplate pages")
     require(uniqueFlagged == 0, "t15 flagged pure-unique docs (degenerate join key?)")
+
+    // t19 span removal: the heaviest removal shape — every boilerplate
+    // page's spans are corpus-duplicated, so the removable-occurrence
+    // explode runs at full tilt (~50k pages x ~160 spans x 20 positions).
+    // Planted: exactly ONE boilerplate page (the canonical min (doc_id,
+    // pos) holder) keeps words; the other 49,999 empty out; no-prefix
+    // unique docs never lose a word.
+    val (t19checks, wT19) = timed {
+      val row = SparkEntry.queries("t19_span_removal")(spark, dir).agg(
+        sum(when(col("doc_id") >= clusterEnd && col("doc_id") < navEnd &&
+          col("n_removed_words") === col("n_words"), 1L).otherwise(0L)).as("navEmptied"),
+        sum(when(col("doc_id") >= navEnd && pmod(col("doc_id"), lit(10)) >= 3 &&
+          col("n_removed_words") =!= 0L, 1L).otherwise(0L)).as("uniqueTouched")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (navEmptied, uniqueTouched) = t19checks
+    println(f"PROBE t19 cpus=$cpus n=$n wall=$wT19%.2f (span removal)")
+    println(s"PROBE t19 planted check: $navEmptied/${navN - 1} boilerplate pages fully " +
+      s"emptied, $uniqueTouched unique docs losing words")
+    require(navEmptied == navN - 1, "t19 kept words in a non-canonical boilerplate page")
+    require(uniqueTouched == 0, "t19 removed words from pure-unique docs")
     spark.stop()
   }
 }

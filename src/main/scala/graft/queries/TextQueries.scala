@@ -373,6 +373,60 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span REMOVAL (the rewrite step t17 only inventories —
+    * Lee et al.'s "deduplicate the training data", exact-substring
+    * form): every 20-word rolling window that occurs >= 2 times
+    * corpus-wide keeps its CANONICAL first occurrence (global min by
+    * (doc_id, pos)) and every other occurrence's covered words are
+    * dropped; output is the per-doc cleaned text (on the lowercased,
+    * whitespace-trimmed word stream — the dedup-canonical form all the
+    * span ops share) plus removal accounting. Overlapping removable
+    * spans union their coverage; a doc repeating a span internally
+    * keeps only the first copy; docs under 20 words pass through.
+    *
+    * Scale shape: the span side is t17's exactly — one corpus scan,
+    * windows as native 8-byte rolling hashes ([[graft.functions
+    * .WordWindowHashes]]), ONE shuffle partitioned by hash carrying
+    * both the occurrence count and the canonical rank (two window
+    * functions over the same partitioning = one exchange). Removable
+    * occurrences explode to 20 (doc_id, word-position) longs each —
+    * bounded by 20x the span count, never content — and collect_set
+    * folds them per doc (<= word count per doc). The rebuild is a
+    * SECOND corpus scan (a genuinely different derivation — words, not
+    * hashes; materializing both arrays per row to save the scan would
+    * double the scan's width for no shuffle saving) joined to the
+    * per-doc removal sets, with the surviving words selected by
+    * array_except over positions (hash-set semantics, O(words) per
+    * doc) — per-doc Column lambdas, not per-window, so the
+    * CodegenFallback cost sits on the output projection only.
+    */
+  private val spanRemoval: Q = (s, dir) => {
+    implicit val sp = s
+    val wByH = Window.partitionBy("h")
+    val removedPerDoc = docs(dir)
+      .select(col("doc_id"),
+        graft.functions.WordWindowHashes.wordWindowHashes(lower(col("text")), 20).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .withColumn("n_occ", count(lit(1)).over(wByH))
+      .withColumn("rn", row_number().over(wByH.orderBy("doc_id", "pos")))
+      .filter(col("n_occ") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 19)).as("wpos"))
+      .groupBy("doc_id").agg(collect_set("wpos").as("rm"))
+    docs(dir)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "^\\s+|\\s+$", ""), "\\s+").as("ws"))
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<int>")))
+      .withColumn("keep",
+        array_except(sequence(lit(0), size(col("ws")) - 1).cast("array<int>"), col("rm")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("rm")).cast("long").as("n_removed_words"),
+        concat_ws(" ",
+          transform(col("keep"), i => element_at(col("ws"), i + 1))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing (training-batch construction): greedily pack docs
     * into fixed token-budget bins (B = 2048), the op that turns a
     * filtered corpus into context-window-sized training rows. Packing
@@ -431,6 +485,7 @@ object TextQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "t19_span_removal" -> spanRemoval,
     "t18_seq_pack" -> seqPack,
     "t13_stratified_sample" -> stratifiedSample,
     "t14_bigram_topk" -> bigramTopk,
@@ -605,6 +660,43 @@ object TextQueries {
         |    * 10000 + 0.5) / 10000)) AS BIGINT) AS expected_tokens
         |FROM t ORDER BY lang""".stripMargin,
 
+    "t19_span_removal" ->
+      // same span/window dialect as t17; removal = positions covered by
+      // non-canonical duplicated occurrences (canonical = first by
+      // (doc_id, pos)); rebuild keeps uncovered 1-based word positions
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS ws FROM f),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 18),
+        |    i -> struct_pack(pos := i,
+        |      span := array_to_string(ws[i:i+19], ' ')))) AS s
+        |  FROM w WHERE len(ws) >= 20),
+        |m AS (
+        |  SELECT doc_id, s.pos AS pos,
+        |    count(*) OVER (PARTITION BY s.span) AS n_occ,
+        |    row_number() OVER (PARTITION BY s.span ORDER BY doc_id, s.pos) AS rn
+        |  FROM sp),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 20)) AS wpos
+        |  FROM m WHERE n_occ >= 2 AND rn > 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_removed, list(wpos) AS rms
+        |  FROM rem GROUP BY 1)
+        |SELECT w.doc_id,
+        |  len(w.ws) AS n_words,
+        |  coalesce(agg.n_removed, 0) AS n_removed_words,
+        |  -- outer coalesce: DuckDB's array_to_string([]) is NULL where
+        |  -- Spark's concat_ws over an empty array is '' (all-removed docs)
+        |  coalesce(array_to_string(
+        |    list_transform(
+        |      list_filter(range(1, len(w.ws) + 1),
+        |        i -> NOT list_contains(coalesce(agg.rms, []), i)),
+        |      i -> w.ws[i]), ' '), '') AS clean_text
+        |FROM w LEFT JOIN agg USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     "t17_dup_spans" ->
       """WITH f AS (
         |  SELECT doc_id,
