@@ -202,15 +202,24 @@ object DedupScaleProbe {
         sum(when(col("doc_id") >= clusterEnd && col("doc_id") < navEnd &&
           col("n_removed_words") === col("n_words"), 1L).otherwise(0L)).as("navEmptied"),
         sum(when(col("doc_id") >= navEnd && pmod(col("doc_id"), lit(10)) >= 3 &&
-          col("n_removed_words") =!= 0L, 1L).otherwise(0L)).as("uniqueTouched")).head()
-      (row.getLong(0), row.getLong(1))
+          col("n_removed_words") =!= 0L, 1L).otherwise(0L)).as("uniqueTouched"),
+        // summing clean_text LENGTHS forces the rebuild projection into
+        // the timed plan (count-only checks let Catalyst column-prune
+        // the array_except/transform rebuild entirely) AND pins its
+        // value: the canonical page alone keeps the template verbatim
+        sum(when(col("doc_id") >= clusterEnd && col("doc_id") < navEnd,
+          length(col("clean_text"))).otherwise(0L)).as("navCleanLen")).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
     }
-    val (navEmptied, uniqueTouched) = t19checks
-    println(f"PROBE t19 cpus=$cpus n=$n wall=$wT19%.2f (span removal)")
+    val (navEmptied, uniqueTouched, navCleanLen) = t19checks
+    println(f"PROBE t19 cpus=$cpus n=$n wall=$wT19%.2f (span removal, rebuild executed)")
     println(s"PROBE t19 planted check: $navEmptied/${navN - 1} boilerplate pages fully " +
-      s"emptied, $uniqueTouched unique docs losing words")
+      s"emptied, $uniqueTouched unique docs losing words, " +
+      s"surviving boilerplate bytes=$navCleanLen (template=${ProbeCorpus.NavTemplate.length})")
     require(navEmptied == navN - 1, "t19 kept words in a non-canonical boilerplate page")
     require(uniqueTouched == 0, "t19 removed words from pure-unique docs")
+    require(navCleanLen == ProbeCorpus.NavTemplate.length,
+      "surviving boilerplate text is not exactly the canonical page's template")
     spark.stop()
   }
 }

@@ -400,23 +400,42 @@ object TextQueries {
     * doc) — per-doc Column lambdas, not per-window, so the
     * CodegenFallback cost sits on the output projection only.
     */
+  /** The RE2 \s class — [ \t\n\f\r] — as an explicit Java-regex char
+    * class. t19's rebuild MUST split with exactly the delimiter set
+    * [[graft.functions.WordWindowHashes]]'s byte scanner uses (and the
+    * DuckDB oracle's RE2 engine matches): Java's \s additionally
+    * treats vertical tab 0x0B as whitespace, and a tokenization
+    * mismatch between the hash side and the word-array side would
+    * MISALIGN the removal indices (wrong words dropped) on any text
+    * containing a VT — not just diverge from the oracle.
+    */
+  private val Re2Ws = "[ \\t\\n\\f\\r]"
+
   private val spanRemoval: Q = (s, dir) => {
     implicit val sp = s
-    val wByH = Window.partitionBy("h")
+    // rn > 1 alone marks a removable occurrence (a partition with a
+    // second row IS a duplicated span) — a separate count-over-window
+    // would add a second WindowExec pass over the per-word span stream
     val removedPerDoc = docs(dir)
       .select(col("doc_id"),
         graft.functions.WordWindowHashes.wordWindowHashes(lower(col("text")), 20).as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
-      .withColumn("n_occ", count(lit(1)).over(wByH))
-      .withColumn("rn", row_number().over(wByH.orderBy("doc_id", "pos")))
-      .filter(col("n_occ") >= 2 && col("rn") > 1)
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 19)).as("wpos"))
-      .groupBy("doc_id").agg(collect_set("wpos").as("rm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+      // aggregate SPAN STARTS (one row per removable occurrence) and
+      // expand to covered positions per doc below — exploding the 20
+      // positions before the shuffle would push 20x the rows through it
+      .groupBy("doc_id").agg(collect_set("pos").as("starts"))
     docs(dir)
       .select(col("doc_id"),
-        split(regexp_replace(lower(col("text")), "^\\s+|\\s+$", ""), "\\s+").as("ws"))
+        split(regexp_replace(lower(col("text")),
+          s"^$Re2Ws+|$Re2Ws+$$", ""), s"$Re2Ws+").as("ws"))
       .join(removedPerDoc, Seq("doc_id"), "left")
-      .withColumn("rm", coalesce(col("rm"), array().cast("array<int>")))
+      .withColumn("rm", coalesce(
+        array_distinct(flatten(transform(col("starts"),
+          p => sequence(p, p + 19)))),
+        array().cast("array<int>")))
       .withColumn("keep",
         array_except(sequence(lit(0), size(col("ws")) - 1).cast("array<int>"), col("rm")))
       .select(col("doc_id"),
@@ -676,12 +695,11 @@ object TextQueries {
         |  FROM w WHERE len(ws) >= 20),
         |m AS (
         |  SELECT doc_id, s.pos AS pos,
-        |    count(*) OVER (PARTITION BY s.span) AS n_occ,
         |    row_number() OVER (PARTITION BY s.span ORDER BY doc_id, s.pos) AS rn
         |  FROM sp),
         |rem AS (
         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 20)) AS wpos
-        |  FROM m WHERE n_occ >= 2 AND rn > 1),
+        |  FROM m WHERE rn > 1),
         |agg AS (
         |  SELECT doc_id, count(*) AS n_removed, list(wpos) AS rms
         |  FROM rem GROUP BY 1)

@@ -13,8 +13,11 @@ class SpanRemovalSpec extends SparkSpec {
     * spans are grouped by their literal text.
     */
   private def expected(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    // RE2 \s class (no vertical tab) — the tokenization WordWindowHashes
+    // and the engine's rebuild share; Java's \\s would disagree on VT
+    val d = "[ \\t\\n\\f\\r]"
     val ws = docs.map { case (id, t) =>
-      id -> t.toLowerCase.replaceAll("^\\s+|\\s+$", "").split("\\s+").toIndexedSeq
+      id -> t.toLowerCase.replaceAll(s"^$d+|$d+$$", "").split(s"$d+").toIndexedSeq
     }.toMap
     val occs = for {
       (id, w) <- ws.toSeq; if w.length >= 20
@@ -52,7 +55,15 @@ class SpanRemovalSpec extends SparkSpec {
       // untouched: under 20 words / unique content / empty-ish
       (4L, uniq(4, 19)),
       (5L, uniq(5, 40)),
-      (6L, "  Mixed   WHITESPACE\ttext under twenty  "))
+      (6L, "  Mixed   WHITESPACE\ttext under twenty  "),
+      // fully emptied: an exact copy of doc 1 — every word covered, so
+      // clean_text must be the EMPTY STRING on both engine and oracle
+      // (the DuckDB array_to_string([])-is-NULL dialect trap)
+      (7L, block + " " + uniq(1, 5)),
+      // vertical tab: RE2 \s (the hash expression's splitter) treats
+      // "x<VT>y" as ONE word where Java's \s sees two — a rebuild
+      // split on Java \s would misalign every removal index after it
+      (8L, "x\u000By " + rep20))
     docs.toDF("doc_id", "text").withColumn("lang", lit("en")).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("t19_span_removal")(spark, dir)
@@ -65,6 +76,9 @@ class SpanRemovalSpec extends SparkSpec {
     assert(got(3L)._2 == 20L, "within-doc repeat not removed")
     assert(got(3L)._3.startsWith("r1 ") && got(3L)._3.endsWith(" r20") == false,
       "doc 3 should keep the FIRST copy and the filler only")
+    assert(got(7L) == ((30L, 30L, "")), s"exact-copy doc not fully emptied: ${got(7L)}")
+    assert(got(8L) == ((21L, 20L, "x\u000By")),
+      s"VT word misaligned the removal indices: ${got(8L)}")
   }
 
   test("t19 is consistent with t17's inventory on the sf corpus") {
