@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
   * also runs and HARD-GATES (require) the round-5 text ops over the
   * same corpus: t17 duplicated-span inventory (every boilerplate page
   * must be 100% duplicated spans, zero phantom dups on pure-unique
-  * docs) and t15 contamination (every non-eval boilerplate page
+  * docs), t15 contamination (every non-eval boilerplate page
   * flagged, zero pure-unique false positives, adversarially large
-  * eval broadcast).
+  * eval broadcast), and t19 span removal (exactly one canonical
+  * boilerplate page survives — its clean text pinned to the template's
+  * byte length, which also forces the rebuild projection into the
+  * timed plan — the other 49,999 fully empty, zero unique docs lose a
+  * word).
   *
   * Usage: SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DEDUP_N=1000000 \
   *   SPARK_DRIVER_MEM=48g sbt "runMain graft.DedupScaleProbe"

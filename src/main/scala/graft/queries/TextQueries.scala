@@ -386,19 +386,22 @@ object TextQueries {
     *
     * Scale shape: the span side is t17's exactly — one corpus scan,
     * windows as native 8-byte rolling hashes ([[graft.functions
-    * .WordWindowHashes]]), ONE shuffle partitioned by hash carrying
-    * both the occurrence count and the canonical rank (two window
-    * functions over the same partitioning = one exchange). Removable
-    * occurrences explode to 20 (doc_id, word-position) longs each —
-    * bounded by 20x the span count, never content — and collect_set
-    * folds them per doc (<= word count per doc). The rebuild is a
-    * SECOND corpus scan (a genuinely different derivation — words, not
-    * hashes; materializing both arrays per row to save the scan would
-    * double the scan's width for no shuffle saving) joined to the
-    * per-doc removal sets, with the surviving words selected by
-    * array_except over positions (hash-set semantics, O(words) per
-    * doc) — per-doc Column lambdas, not per-window, so the
-    * CodegenFallback cost sits on the output projection only.
+    * .WordWindowHashes]]), ONE shuffle partitioned by hash computing
+    * the canonical rank (row_number alone: a second row in a hash
+    * partition IS a duplicated span, so no separate occurrence count).
+    * Removable occurrences then travel as (doc_id, span-START) longs —
+    * one row per occurrence, never content — and collect_set folds the
+    * starts per doc; the 20 covered positions expand AFTER the per-doc
+    * fold (transform + sequence + flatten + array_distinct), so the
+    * aggregation shuffles 20x fewer rows than a covered-position
+    * explode would. The rebuild is a SECOND corpus scan (a genuinely
+    * different derivation — words, not hashes; materializing both
+    * arrays per row to save the scan would double the scan's width for
+    * no shuffle saving) joined to the per-doc removal sets, with the
+    * surviving words selected by array_except over positions (hash-set
+    * semantics, O(words) per doc) — per-doc Column lambdas, not
+    * per-window, so the CodegenFallback cost sits on the output
+    * projection only.
     */
   /** The RE2 \s class — [ \t\n\f\r] — as an explicit Java-regex char
     * class. t19's rebuild MUST split with exactly the delimiter set
