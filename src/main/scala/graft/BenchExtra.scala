@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-6 optimization tooling: isolated per-query timing with a
+  * configurable repeat count (guide §1.4 — noop sink, same session
+  * config as graft.Bench, which stays FROZEN). Not part of the driver
+  * contract; numbers are cited in OPTIMIZATION_r06.md only.
+  *
+  * Usage: runMain graft.BenchExtra <reps> [name1,name2,...]
+  * Prints one line per query: name, all rep seconds, and the min.
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftUdfs.register(spark)
+
+    // same warmup as graft.Bench
+    spark.range(1000000).selectExpr("sum(id)").count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey").limit(1).count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val qmap = SparkEntry.queries
+    // graft.Bench's headline list, duplicated verbatim (Bench.scala is
+    // frozen for measurement, so its private list cannot be exposed)
+    val headline = Seq(
+      "q01_pricing_agg", "q02_revenue_by_nation", "q03_top_orders",
+      "q06_filter_pushdown_agg", "q07_window_running", "q08_distinct_agg",
+      "q11_events_json_hourly", "q13_rollup", "q15_asof_join", "q17_sessionize",
+      "t01_dedup_exact", "t02_token_count", "t03_quality_score", "t04_lang_id",
+      "t06_bpe_tokens", "t08_repetition_ratio", "t09_train_split", "t12_redact",
+      "t15_contamination", "t17_dup_spans", "t18_seq_pack", "t19_span_removal",
+      "s01_minhash_neardup", "s02_simhash_neardup", "s03_ann_cosine_topk",
+      "s04_ann_lsh_topk", "s05_multimodal_decode", "s06_embedding_neardup",
+      "s07_ann_ivf_topk", "s08_frame_sample", "s09_ann_sq8_rerank",
+      "s10_dedup_keeper", "s11_cluster_stats", "s12_incremental_neardup",
+      "s13_incremental_keeper")
+    val names = headline.filter(n => only.forall(_.contains(n)))
+    names.foreach { name =>
+      spark.sparkContext.setJobDescription(s"benchextra: $name")
+      val samples = (1 to reps).map { _ =>
+        try time(qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
+        catch { case e: Throwable =>
+          System.err.println(s"[benchextra] $name rep failed: $e"); -1.0 }
+      }
+      val ok = samples.filter(_ >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.min
+      println(f"BX $name%-24s min=$best%8.3f  reps=${samples.map(s => f"$s%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
