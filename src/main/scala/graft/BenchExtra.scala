@@ -37,6 +37,23 @@ object BenchExtra {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    val verbose = sys.env.get("GRAFT_BX_VERBOSE").contains("1")
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        taskCount.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        if (verbose) jobStarts.put(j.jobId, (System.nanoTime(),
+          String.valueOf(j.properties.getProperty("spark.job.description")),
+          j.stageInfos.map(_.numTasks).sum))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (verbose) Option(jobStarts.remove(j.jobId)).foreach { case (t0, desc, nt) =>
+          println(f"  job ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s  tasks=$nt%4d  ${desc.take(120)}")
+        }
+    })
     val qmap = SparkEntry.queries
     // graft.Bench's headline list, duplicated verbatim (Bench.scala is
     // frozen for measurement, so its private list cannot be exposed)
@@ -62,7 +79,8 @@ object BenchExtra {
       }
       val ok = samples.filter(_ >= 0)
       val best = if (ok.isEmpty) -1.0 else ok.min
-      println(f"BX $name%-24s min=$best%8.3f  reps=${samples.map(s => f"$s%.3f").mkString(",")}")
+      val (jobs, tasks) = (jobCount.getAndSet(0), taskCount.getAndSet(0))
+      println(f"BX $name%-24s min=$best%8.3f  jobs/rep=${jobs / reps}  tasks/rep=${tasks / reps}  reps=${samples.map(s => f"$s%.3f").mkString(",")}")
     }
     spark.stop()
   }

@@ -774,6 +774,11 @@ object SimilarityQueries {
     val planes = lshPlanes(7000, tables, bits, dim = 64)
     val snap = s"$snapBase-b$bits"
     val ck = graft.exec.Checkpoint(annIndexRoot, "ann-index")
+    // NOT spreadBuild (unlike s06's nd8): s04's probe side is 10 query
+    // vectors — the warm-path work per index row is trivial, and a
+    // multi-file layout measured ~2.5x WORSE (32 near-empty tasks of
+    // pure scheduling overhead vs one cheap task). s06 keeps the spread
+    // because its probe side is the whole corpus (~1M candidate pairs).
     val idx = validatedStage(s, ck, s"lsh8_${dirTag(dir)}", snap,
         expectedRows = n * tables) {
       e.flatMap { case (id, v) =>
@@ -808,6 +813,24 @@ object SimilarityQueries {
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rank"))
       .orderBy("probe_id", "rank")
+  }
+
+  /** Build-side parallelism restore for the persisted index stages
+    * (round-6, guide §2.5/§6): the build lineages start at the driver's
+    * single-split embeddings scan, so the flatMap/map projection AND the
+    * committed parquet layout came out single-partition — and every warm
+    * probe-path scan of that one-file index then ran its join/dedup work
+    * in ONE task (measured: the s06 candidate join + dedup was a 4-5 s
+    * single-slot job). A conditional round-robin repartition in the
+    * build (no-op when the source already yields >= half-parallelism
+    * splits, i.e. any production layout) parallelizes the build AND
+    * leaves a multi-file index whose warm reads split naturally — no
+    * query-time exchange added. Stage snapshots carry a -p2 suffix so
+    * committed one-file indexes rebuild once into the new layout.
+    */
+  private def spreadBuild(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= cores) df else df.repartition(cores)
   }
 
   /** Root for persisted ANN index stages (overridable for tests). */
@@ -1214,11 +1237,11 @@ object SimilarityQueries {
     // multiprobe side repeated it with flips). One committed table now
     // carries the exact buckets, marker-validated like the others...
     val exact = validatedStage(s, ck = graft.exec.Checkpoint(annIndexRoot, "ann-index"),
-        stageName = s"nd8_${dirTag(dir)}", snap = s"$snapBase-nd-b$bits",
+        stageName = s"nd8_${dirTag(dir)}", snap = s"$snapBase-nd-b$bits-p2",
         expectedRows = n * tables) {
-      e.flatMap { case (id, v) =>
+      spreadBuild(e.flatMap { case (id, v) =>
         (0 until tables).map(t => (id, t, lshBucket(v, planes(t))))
-      }.toDF("vec_id", "tbl", "bucket")
+      }.toDF("vec_id", "tbl", "bucket"))
     }
     // ...and the multiprobe side (own bucket + every 1-bit flip; with
     // l.vec_id < r.vec_id, (a flipped) meeting (b exact) covers every
@@ -1432,13 +1455,13 @@ object SimilarityQueries {
     // embeddings snapshot; every query scans the 4x-smaller table
     val (n, snapBase) = embSnapshot(dir)
     val quant = validatedStage(s, graft.exec.Checkpoint(annIndexRoot, "ann-index"),
-        s"sq8_${dirTag(dir)}", s"$snapBase-sq8", expectedRows = n) {
-        e.map { case (id, v) =>
+        s"sq8_${dirTag(dir)}", s"$snapBase-sq8-p2", expectedRows = n) {
+        spreadBuild(e.map { case (id, v) =>
           val maxAbs = math.max(v.iterator.map(x => math.abs(x.toDouble)).max, 1e-30)
           val scale = 127.0 / maxAbs
           (id, v.map(x => math.round(x * scale).toByte).toArray, scale,
             math.sqrt(v.iterator.map(x => x.toDouble * x).sum))
-        }.toDF("vec_id", "q", "scale", "norm")
+        }.toDF("vec_id", "q", "scale", "norm"))
       }
     val probes = embsBelow(dir, 10)
       .map { case (id, v) =>
@@ -1617,9 +1640,13 @@ object SimilarityQueries {
     val cc = graft.stages.Canonicalize.connectedComponents(edges)
     val labeled = cc.select(
       substring(col("id"), 2, 25).cast("long").as("doc_id"), col("canonicalId"))
-    val keepers = labeled.groupBy("canonicalId")
-      .agg(min("doc_id").as("keeper_doc_id"))
-    labeled.join(keepers, Seq("canonicalId"))
+    // keeper = numeric component min, via ONE window shuffle on the
+    // cluster label (round 6; the groupBy + join-back formulation paid
+    // two exchanges over the same metadata-sized frame for the same
+    // result — skew bound is the largest cluster either way)
+    labeled
+      .withColumn("keeper_doc_id", min("doc_id").over(
+        Window.partitionBy(col("canonicalId"))))
       .select("doc_id", "keeper_doc_id")
   }
 

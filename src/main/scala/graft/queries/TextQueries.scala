@@ -18,9 +18,31 @@ object TextQueries {
     * One definition — t02/t03/t16/t18 and their oracles must agree on
     * it, including its documented quirk (plain trim strips only 0x20,
     * so a boundary tab/newline contributes one empty token).
+    *
+    * Computed as [[splitCount]] (native match counter + 1), not
+    * size(split(...)): the value is identical (see splitCount's proof
+    * obligations) and the split array was materialized only to be
+    * counted.
     */
   private def nTokens: org.apache.spark.sql.Column =
-    size(split(trim(col("text")), "\\s+"))
+    splitCount(trim(col("text")), "\\s+")
+
+  /** `size(split(c, pat))` without materializing the array (round 6,
+    * guide: prefer allocation-free codegen expressions in the hot
+    * path): for a pattern that can never match the empty string —
+    * every pattern used here consumes at least one char per match —
+    * Java's `Pattern.split(s, -1)` yields exactly (number of
+    * non-overlapping matches) + 1 parts, leading and trailing empties
+    * included, which is what Spark's `split` (limit -1) returns the
+    * size of. [[graft.functions.RegexpCountFast]] runs the same
+    * java.util.regex engine over the same non-overlapping find() walk,
+    * so the count is the same quantity with zero per-row allocation.
+    * (A zero-width-capable pattern would break the identity — Java
+    * skips a leading zero-width match — so this helper must only be
+    * used with width >= 1 patterns; all call sites are literals.)
+    */
+  private def splitCount(c: Column, pat: String): Column =
+    graft.functions.RegexpCountFast.regexpCountFast(c, lit(pat)) + 1
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -57,8 +79,9 @@ object TextQueries {
     implicit val sp = s
     val tokens = nTokens
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
-    // padded-split hit counting (RE2-portable: DuckDB has no \b)
-    val stop = size(split(concat(lit(" "), col("text"), lit(" ")), "\\sthe\\s")) - 1
+    // padded-split hit counting (RE2-portable: DuckDB has no \b);
+    // splitCount - 1 = plain match count
+    val stop = splitCount(concat(lit(" "), col("text"), lit(" ")), "\\sthe\\s") - 1
     // floor-based rounding: Spark round() is decimal HALF_UP, DuckDB
     // rounds in binary — identical floor(x*s+0.5)/s double math on both
     // sides removes the x.xx5 boundary disagreements.
@@ -82,7 +105,7 @@ object TextQueries {
     */
   private val langId: Q = (s, dir) => {
     implicit val sp = s
-    def hits(word: String) = size(split(concat(lit(" "), col("text"), lit(" ")), s"\\s$word\\s")) - 1
+    def hits(word: String) = splitCount(concat(lit(" "), col("text"), lit(" ")), s"\\s$word\\s") - 1
     val scored = docs(dir)
       .withColumn("en_hits", hits("the"))
       .withColumn("de_hits", hits("der") + hits("und"))
@@ -108,7 +131,7 @@ object TextQueries {
     implicit val sp = s
     docs(dir)
       .withColumn("first_spark", regexp_extract(col("text"), "(spark\\w*)", 1))
-      .withColumn("n_scan", size(split(concat(lit(" "), col("text"), lit(" ")), "\\sscan\\s")) - 1)
+      .withColumn("n_scan", splitCount(concat(lit(" "), col("text"), lit(" ")), "\\sscan\\s") - 1)
       .filter(col("first_spark") =!= "" || col("n_scan") > 0)
       .select("doc_id", "first_spark", "n_scan")
       .orderBy("doc_id")
