@@ -120,13 +120,22 @@ object EntityLink {
       }.toDF("kind", "name", "band", "bkey")
       .localCheckpoint(true)
 
-    val sizes = banded.groupBy("kind", "band", "bkey").agg(count(lit(1)).as("__bsz"))
-    val purged = sizes.filter(col("__bsz") > maxBucket)
-    val nPurged = purged.count()
+    // round 6: bucket sizes as a count-over-window on the SAME keys the
+    // self-join below partitions by — the groupBy + join-back
+    // formulation paid an aggregation exchange plus a join exchange in
+    // the candidate path for the same pruning; the window's single
+    // (kind, band, bkey) shuffle now also satisfies the join's
+    // distribution, so the join adds no exchange at all. The purge
+    // count stays an eager, logged-never-silent job (round-5 policy),
+    // reading the checkpointed banded frame.
+    val sized = banded.withColumn("__bsz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("kind"), col("band"), col("bkey"))))
+    val nPurged = sized.filter(col("__bsz") > maxBucket)
+      .select("kind", "band", "bkey").distinct().count()
     if (nPurged > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"fuzzyEdges: purged $nPurged LSH buckets larger than $maxBucket names")
-    val pruned = banded.join(sizes.filter(col("__bsz") <= maxBucket).drop("__bsz"),
-      Seq("kind", "band", "bkey"))
+    val pruned = sized.filter(col("__bsz") <= maxBucket).drop("__bsz")
 
     val l = pruned.as("l")
     val r = pruned.as("r")

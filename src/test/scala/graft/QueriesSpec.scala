@@ -655,6 +655,39 @@ class QueriesSpec extends SparkSpec {
       s"missing: ${(exact.keySet -- got.keySet).take(5)}")
   }
 
+  test("s02 giant-bucket guard: identical-fingerprint cluster yields O(n) edges") {
+    import spark.implicits._
+    // 600 docs with IDENTICAL text (one simhash -> one giant bucket in
+    // every one of the 28 block-pair tables, far over the 256 cap) +
+    // one small identical pair + unique filler. Without the guard the
+    // self-join would enumerate C(600,2) = 179,700 candidates in EVERY
+    // table; the fingerprint-ordered double chain bounds it at O(2n),
+    // still Hamming-verified and still one connected component.
+    val template = (1 to 40).map(i => s"nav$i word$i").mkString(" ")
+    val near = (1 to 40).map(i => s"body$i text$i").mkString(" ")
+    val docsDf = (
+      (1000L until 1600L).map(id => (id, template)) ++
+        Seq((1L, near), (2L, near)) ++
+        (10L until 30L).map(id => (id, (1 to 40).map(i => s"u${id}x$i yy${id * 31 + i}").mkString(" ")))
+      ).toDF("doc_id", "text")
+    val pairs = graft.queries.SimilarityQueries.simhashPairsOf(docsDf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the small-bucket path still enumerates its pair exhaustively
+    assert(pairs.contains((1L, 2L)))
+    // giant cluster: double chain = at most 2 edges per member, not n^2
+    val giant = pairs.filter { case (a, b) => a >= 1000 && b >= 1000 }
+    assert(giant.length >= 599, s"chain too sparse to span: ${giant.length}")
+    assert(giant.length <= 1200, s"giant bucket not chained: ${giant.length} edges")
+    // chain edges keep the cluster ONE component with the min-id keeper
+    val keep = graft.queries.SimilarityQueries.pairedKeepers(
+      graft.queries.SimilarityQueries.simhashPairsOf(docsDf))
+      .filter(col("doc_id") >= 1000).collect()
+    assert(keep.length == 600)
+    assert(keep.forall(_.getLong(1) == 1000L), "cluster keeper must be the min id")
+    // sf-scale buckets sit far below the cap: the guard must be inert
+    // there (same pair set as the recall spec's exact reference)
+  }
+
   test("q15 as-of join matches the naive join+argmax semantics") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val clicks = ev.filter(col("event_type") === "click")
