@@ -46,7 +46,7 @@ object BenchExtra {
         jobCount.incrementAndGet()
         taskCount.addAndGet(j.stageInfos.map(_.numTasks).sum)
         if (verbose) jobStarts.put(j.jobId, (System.nanoTime(),
-          String.valueOf(j.properties.getProperty("spark.job.description")),
+          j.stageInfos.map(si => s"${si.name.takeWhile(_ != '(')}x${si.numTasks}").mkString("|"),
           j.stageInfos.map(_.numTasks).sum))
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
@@ -69,11 +69,29 @@ object BenchExtra {
       "s07_ann_ivf_topk", "s08_frame_sample", "s09_ann_sq8_rerank",
       "s10_dedup_keeper", "s11_cluster_stats", "s12_incremental_neardup",
       "s13_incremental_keeper")
-    val names = headline.filter(n => only.forall(_.contains(n)))
+    // the two KG bench sections, replicated with graft.Bench's exact
+    // methodology (Bench.scala itself is frozen)
+    val cpusI = cpus.toInt
+    val kgSections: Map[String, () => Unit] = Map(
+      "kg_extract_pipeline" -> (() => {
+        graft.stages.MentionDetect.triplesDirect(
+          graft.fixtures.FixtureCorpus.corpus(spark, 60000, cpusI * 4)).count(): Unit
+      }),
+      "kg_entity_link" -> (() => {
+        val ment = graft.stages.MentionDetect.mentionsDirect(
+          graft.fixtures.FixtureCorpus.corpus(spark, 2000, cpusI * 2))
+        graft.stages.Pipeline.entities(spark, ment).count(): Unit
+      }))
+    val names = (headline ++ kgSections.keys.toSeq)
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       spark.sparkContext.setJobDescription(s"benchextra: $name")
+      def once(): Unit = kgSections.get(name) match {
+        case Some(f) => f()
+        case None => qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       val samples = (1 to reps).map { _ =>
-        try time(qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save())
+        try time(once())
         catch { case e: Throwable =>
           System.err.println(s"[benchextra] $name rep failed: $e"); -1.0 }
       }

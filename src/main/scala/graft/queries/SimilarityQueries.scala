@@ -335,8 +335,17 @@ object SimilarityQueries {
     */
   private[graft] def incrementalCutoff(s: SparkSession, dir: String): Long = {
     implicit val sp = s
-    docs(dir).agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0) / 10 * 9
+    // memoized on (dir, file-status fingerprint) exactly like
+    // snapshotCache (round 6): the cutoff is a pure function of the
+    // documents table, and the metadata-only listing ALWAYS re-runs and
+    // gates reuse — any rewrite/append changes the fingerprint and
+    // forces a fresh max() scan, so no result survives a data change
+    cutoffCache.getOrElseUpdate((dir, fileStatusFp(dir, "documents.parquet")),
+      docs(dir).agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0) / 10 * 9)
   }
+
+  private val cutoffCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
 
   /** Fingerprint of the documents SLICE doc_id < cutoff — the identity
     * the s12 old-bands index is keyed on. Keying on the whole-table
@@ -503,6 +512,14 @@ object SimilarityQueries {
     incrementalNeardupAt(s, dir, batchCutoff(s, dir))
 
   private[graft] def incrementalNeardupAt(s: SparkSession, dir: String,
+      cutoff: Long): DataFrame =
+    incrementalPairsAt(s, dir, cutoff).orderBy("a", "b")
+
+  /** The unsorted s12 pair engine — s13 consumes this directly so the
+    * s12 query surface's orderBy does not ride into the keeper's CC
+    * lineage as a dead global sort (round 6; see dedupKeeper's note).
+    */
+  private def incrementalPairsAt(s: SparkSession, dir: String,
       cutoff: Long): DataFrame = {
     implicit val sp = s
     import sp.implicits._
@@ -546,7 +563,7 @@ object SimilarityQueries {
       delta)
     // delta self-run consumes the SAME materialized banded frame
     val newnew = pairsFromSized(dSized, delta, Nd12Cap)
-    cross.unionByName(newnew).orderBy("a", "b")
+    cross.unionByName(newnew)
   }
 
   // ---- s13: incremental dedup keeper (the last mile, per batch) ----
@@ -612,7 +629,7 @@ object SimilarityQueries {
     val oldKeep = nd13OldKeepers(s, dir, cutoff)
     // pairs touch the delta by contract (a < b, delta = id tail, so
     // b >= cutoff always; only a can be an old doc needing contraction)
-    val mapped = incrementalNeardupAt(s, dir, cutoff)
+    val mapped = incrementalPairsAt(s, dir, cutoff)
       .select("a", "b")
       .join(oldKeep.select(col("doc_id").as("a"), col("keeper_doc_id").as("__ka")),
         Seq("a"), "left")
@@ -622,19 +639,19 @@ object SimilarityQueries {
     val nodeKeeper = pairedKeepers(mapped)
       .select(col("doc_id").as("__node"), col("keeper_doc_id").as("__nk"))
       .localCheckpoint(true)
-    val oldOut = docs(dir).filter(col("doc_id") < cutoff).select("doc_id")
+    // ONE corpus id scan assembles both sides (round 6 — the previous
+    // old/delta branch pair scanned doc_id twice, built the nodeKeeper
+    // broadcast twice and paid a union): __base is the quotient-graph
+    // node for any doc — an old doc's persisted keeper (or itself when
+    // unpaired), a delta doc itself — and nodeKeeper joins on __base
+    // cover both cases because delta nodes enter the quotient graph
+    // under their own id while old components enter under their keeper.
+    docs(dir).select("doc_id")
       .join(oldKeep.withColumnRenamed("keeper_doc_id", "__k0"), Seq("doc_id"), "left")
-      // __base covers all three old cases in one expression: paired ->
-      // old keeper (relabeled below if its component merged), unpaired
-      // delta-adjacent -> itself (a node in the quotient graph),
-      // untouched -> itself
-      .withColumn("__base", coalesce(col("__k0"), col("doc_id")))
+      .withColumn("__base", when(col("doc_id") < cutoff,
+        coalesce(col("__k0"), col("doc_id"))).otherwise(col("doc_id")))
       .join(broadcast(nodeKeeper.withColumnRenamed("__node", "__base")), Seq("__base"), "left")
       .select(col("doc_id"), coalesce(col("__nk"), col("__base")).as("keeper_doc_id"))
-    val deltaOut = docs(dir).filter(col("doc_id") >= cutoff).select("doc_id")
-      .join(broadcast(nodeKeeper.withColumnRenamed("__node", "doc_id")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__nk"), col("doc_id")).as("keeper_doc_id"))
-    oldOut.unionByName(deltaOut)
       .withColumn("is_dropped", col("doc_id") =!= col("keeper_doc_id"))
       .orderBy("doc_id")
   }
@@ -1706,7 +1723,12 @@ object SimilarityQueries {
 
   private val dedupKeeper: Q = (s, dir) => {
     implicit val sp = s
-    keeperAssignments(minhashDedup(s, dir), docs(dir))
+    // consumes the UNSORTED pair table (round 6): minhashDedup's
+    // orderBy is the s01 query surface, but a sort below the CC persist
+    // boundary survives into this query's plan as a pointless global
+    // range exchange (the cache planner keeps the cached subtree as
+    // written; EliminateSorts cannot see through it)
+    keeperAssignments(verifiedNeardupPairs(s, dir), docs(dir))
   }
 
   /** s11: corpus cluster stats — the persisted IVF coarse quantizer

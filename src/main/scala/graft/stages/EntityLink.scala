@@ -102,12 +102,19 @@ object EntityLink {
     // it into the same shuffle when the caller already deduped); eager
     // localCheckpoints (not persist) below so the blocks are
     // context-cleaned once unreachable
+    // NOT localCheckpointed (round 6): keyed's two consumers are the
+    // star-edge projection (in the final plan) and the banded build
+    // (materialized below) — recomputing the cheap distinct + shingle
+    // key + min-window from the caller's checkpointed name set costs
+    // one small exchange, where the eager checkpoint cost a full
+    // job-barrier on every call. The EXPENSIVE per-name work (the
+    // 64-hash minhash signature in bandKeys) stays computed exactly
+    // once, inside banded's checkpoint.
     val keyed = names.select("kind", "name").distinct().as[(String, String)]
       .map { case (k, n) => (k, n, shingleKey(n)) }
       .toDF("kind", "name", "skey")
       .withColumn("rep", min(col("name")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("kind"), col("skey"))))
-      .localCheckpoint(true)
 
     val starEdges = keyed.filter(col("name") =!= col("rep"))
       .select(col("kind"), col("rep").as("src"), col("name").as("dst"),
