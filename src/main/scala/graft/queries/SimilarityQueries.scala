@@ -738,7 +738,14 @@ object SimilarityQueries {
     val sized = banded.withColumn("__bsz",
       count(lit(1)).over(Window.partitionBy("tbl", "bkey")))
     val small = sized.filter(col("__bsz") <= maxFullBucket)
-    val fullPairs = small.as("l").join(small.as("r"),
+    // hint("merge"): without it the planner broadcasts one side (the
+    // frame is tiny at sf), and a broadcast build replays the whole
+    // scan+simhash+explode lineage instead of reusing the window's
+    // exchange (measured: the map stage ran twice). SMJ here is FREE of
+    // extra work — the window already hash-partitioned AND sorted both
+    // sides by (tbl, bkey) — and it is the only join shape possible at
+    // production N anyway (n x 28 band rows never broadcast).
+    val fullPairs = small.as("l").join(small.as("r").hint("merge"),
         $"l.tbl" === $"r.tbl" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b"),
         bit_count($"l.fp".bitwiseXOR($"r.fp")).as("hamming"))
