@@ -139,7 +139,13 @@ object SimilarityQueries {
 
     val small = sized.filter(col("__bsz") <= maxFullBucket)
       .select("doc_id", "band", "bkey")
-    val fullPairs = small.as("l").join(small.as("r"),
+    // hint("merge") (round 6, the s02 lesson): at small inputs the
+    // planner otherwise broadcasts one side, and the broadcast build
+    // replays the banded lineage instead of reusing the size window's
+    // exchange; SMJ is free here — the window already hash-partitioned
+    // and sorted both sides by (band, bkey) — and is the only shape
+    // possible at production N.
+    val fullPairs = small.as("l").join(small.as("r").hint("merge"),
         $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
 

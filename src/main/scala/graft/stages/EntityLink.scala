@@ -145,7 +145,13 @@ object EntityLink {
     val pruned = sized.filter(col("__bsz") <= maxBucket).drop("__bsz")
 
     val l = pruned.as("l")
-    val r = pruned.as("r")
+    // hint("merge") (round 6, the s02 lesson): without it the planner
+    // broadcasts one side at small name counts and the broadcast build
+    // replays the pruned lineage instead of reusing the size window's
+    // exchange; the window already partitions and sorts both sides by
+    // the join keys, so SMJ costs nothing extra and matches the only
+    // plan possible at production name counts.
+    val r = pruned.as("r").hint("merge")
     val candidates = l.join(r,
         $"l.kind" === $"r.kind" && $"l.band" === $"r.band" &&
           $"l.bkey" === $"r.bkey" && $"l.name" < $"r.name")
