@@ -1763,7 +1763,6 @@ object SimilarityQueries {
     val (assigned, centroids) = ivfIndex(s, dir)
     val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cid", "centroid")
-    val wAll = Window.partitionBy()
     assigned
       .join(broadcast(centDf), Seq("cid")) // literal 16-row local frame
       // zero-norm embeddings have undefined cosine (cosineSim -> NULL by
@@ -1778,8 +1777,13 @@ object SimilarityQueries {
           lit(0.0)) * 1e6).cast("long"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"), sum("cos1e6").as("cossum"))
+      // intentional global window over the k-row aggregate (see
+      // scaladoc); its WindowExec warning is suppressed, documented, in
+      // GraftExtensions — see t16's note for why the alternatives are
+      // worse
       .withColumn("share",
-        floor(col("n_vecs") * lit(10000.0) / sum(col("n_vecs")).over(wAll) + 0.5) / 10000)
+        floor(col("n_vecs") * lit(10000.0) /
+          sum(col("n_vecs")).over(Window.partitionBy()) + 0.5) / 10000)
       .withColumn("mean_cos",
         floor(col("cossum").cast("double") / col("n_vecs") / 100.0 + 0.5) / 10000)
       .select("cid", "n_vecs", "share", "mean_cos")

@@ -343,6 +343,13 @@ object TextQueries {
   private val domainMix: Q = (s, dir) => {
     implicit val sp = s
     def r(c: Column, s0: Int): Column = floor(c * s0 + 0.5) / s0
+    // The global window is intentional and runs over the k-row
+    // per-language AGGREGATE, not the corpus (see the scaladoc). Its
+    // empty partition spec makes WindowExec warn; the warning is
+    // suppressed once, documented, in GraftExtensions — a constant
+    // partition key gets constant-folded away, and a 1-row-aggregate
+    // cross join would recompute the corpus pass for the broadcast
+    // build (exchange reuse does not cross into broadcast builds).
     val wAll = Window.partitionBy()
     docs(dir)
       .withColumn("n_tokens", nTokens)
