@@ -73,9 +73,17 @@ object SparkEntry {
 
   /** Stable page identity for the flagship dedup stage (driver-side and
     * executor-side uses must agree, so it's plain Scala, not a Column).
+    * Round 6 (ADVICE): a genuine 64-bit id — two differently-seeded
+    * murmur passes packed into one Long — replacing the widened 32-bit
+    * hash whose birthday bound (~50% collision odds at ~77k pages)
+    * would silently merge two distinct pages into one doc_id at the
+    * documented production scale.
     */
-  private def entryPageId(repo: String, path: String): Long =
-    scala.util.hashing.MurmurHash3.stringHash(s"$repo/$path").toLong
+  private def entryPageId(repo: String, path: String): Long = {
+    val k = s"$repo/$path"
+    (scala.util.hashing.MurmurHash3.stringHash(k, 0x9747b28c).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(k, 0x85ebca6b).toLong & 0xffffffffL)
+  }
 
   /** NOTE on the `sfDir` argument: the relational (q*), text (t*) and
     * similarity (s*) queries read the driver's parquet tables under

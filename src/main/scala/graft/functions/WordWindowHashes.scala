@@ -29,8 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * delimiter in the ASCII \s set is a single byte that can never occur
   * inside a multi-byte UTF-8 sequence, so byte-level splitting is exact.
   *
-  * Tokenization: words are maximal runs of non-whitespace (ASCII \s set,
-  * matching Java regex `\s`) — there is deliberately NO empty-token
+  * Tokenization: words are maximal runs of non-whitespace over the RE2
+  * `\s` set — [ \t\n\f\r], deliberately WITHOUT vertical tab 0x0B
+  * (see the companion's isWs note: Java regex `\s` additionally counts
+  * VT, and t19's rebuild splitter must match THIS set exactly or its
+  * removal indices misalign) — and there is deliberately NO empty-token
   * concept, so boundary whitespace is ignored. A DuckDB/Spark oracle
   * reformulation must therefore FULL-TRIM before splitting
   * (`regexp_replace(lower(text), '^\s+|\s+$', '', 'g')`): plain

@@ -47,6 +47,13 @@ object Canonicalize {
     * pointer jumping is the only shape that works at 100 TB pair
     * graphs; both paths are value-equal (spec-asserted, and kg15 pins
     * the distributed path under the driver oracle via smallCutoff = 0).
+    *
+    * DRIVER-HEAP REQUIREMENT (round-6 ADVICE): the default assumes a
+    * driver sized like the bench JVM (8 GB -Xmx) — the union-find path
+    * can transiently allocate ~2.4 GB at the full 500k-edge worst case
+    * (measured, above). A caller on a small driver (1-2 GB test JVMs)
+    * whose graphs can exceed ~100k edges should pass smallCutoff
+    * explicitly rather than inherit this default.
     */
   val DefaultSmallCutoff = 500000L
 
